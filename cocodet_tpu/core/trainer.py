@@ -1,0 +1,248 @@
+"""Trainer — the epoch/iteration runtime.
+
+Parity target: ref yolox/core/trainer.py:34-359:
+  before_train (model/optimizer/loader build, resume), train_in_epoch /
+  train_in_iter / train_one_iter, multiscale resize every 10 iters, no-aug
+  switch + L1 at max_epoch - no_aug_epochs, periodic eval with best-AP50
+  checkpointing, meters + ETA logging, EMA, occupy/TF-board hooks.
+  (The reference's save_ckpt has a `self.fine_name` typo crash at
+  trainer.py:357 — intentionally not reproduced.)
+
+TPU re-design highlights:
+  * one jitted train step (see train_state.py); python only moves host
+    batches and bookkeeping;
+  * multiscale via static bucket sizes chosen by a seeded RNG shared across
+    hosts (replaces the rank-0 dist.broadcast, ref yolox_base.py:208-210);
+  * eval uses the EMA shadow variables directly (no module deepcopy);
+  * checkpoints are msgpack pytrees (ref .pth zoo).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.samplers import DevicePrefetcher
+from ..utils.checkpoint import load_checkpoint, load_matched, save_checkpoint
+from ..utils.logger import logger, setup_logger
+from ..utils.metric import MeterBuffer, device_mem_usage_mb
+from .train_state import TrainState, create_train_state, make_train_step, resize_batch
+
+
+class Trainer:
+    def __init__(self, exp, args):
+        self.exp = exp
+        self.args = args
+        self.max_epoch = exp.max_epoch
+        self.input_size = exp.input_size
+        self.best_ap = 0.0
+        self.meter = MeterBuffer(window_size=exp.print_interval)
+        self.file_name = os.path.join(exp.output_dir, exp.exp_name)
+        self.rank = jax.process_index()
+        if self.rank == 0:
+            os.makedirs(self.file_name, exist_ok=True)
+        setup_logger(self.file_name, rank=self.rank, filename="train_log.txt")
+        # iteration bookkeeping
+        self.epoch = 0
+        self.start_epoch = 0
+        self.use_l1 = False
+
+    # ------------------------------------------------------------------
+    def train(self):
+        self.before_train()
+        try:
+            for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.before_epoch()
+                self.train_in_iter()
+                self.after_epoch()
+        finally:
+            logger.info("training done, best AP50 = %.4f", self.best_ap)
+
+    # ------------------------------------------------------------------
+    def before_train(self):
+        exp = self.exp
+        batch_size = self.args.batch_size
+        logger.info("exp value:\n%s", exp)
+
+        self.model = exp.get_model()
+        self.optimizer_tx = None  # built after iters_per_epoch known
+
+        self.train_loader = exp.get_data_loader(
+            batch_size=batch_size,
+            is_distributed=jax.process_count() > 1,
+            no_aug=self.start_epoch >= self.max_epoch - exp.no_aug_epochs,
+            cache_img=getattr(self.args, "cache", False),
+            rank=self.rank,
+            world_size=jax.process_count(),
+            seed=exp.seed or 0,
+        )
+        self.iters_per_epoch = max(
+            len(self.train_loader.dataset) // batch_size, 1)
+
+        lr = exp.basic_lr_per_img * batch_size
+        self.lr_schedule = exp.get_lr_scheduler(lr, self.iters_per_epoch)
+        self.optimizer_tx = exp.get_optimizer(batch_size)
+        import optax
+        if exp.num_accumulate > 1:
+            self.optimizer_tx = optax.MultiSteps(
+                self.optimizer_tx, every_k_schedule=exp.num_accumulate)
+
+        rng = jax.random.PRNGKey(exp.seed or 0)
+        sample = jnp.zeros((1, *exp.input_size, 3), jnp.float32)
+        init_vars = None
+        init_ckpt = getattr(exp, "init_ckpt", None)
+        self.state = create_train_state(
+            self.model, self.optimizer_tx, rng, sample,
+            use_ema=exp.ema, init_vars=init_vars)
+        if init_ckpt:
+            self._load_init_ckpt(init_ckpt)
+        self.resume_train()
+
+        self.train_step = make_train_step(
+            self.model, self.optimizer_tx, strides=exp.strides,
+            num_classes=exp.num_classes, iou_type=exp.iou_type,
+            ema_decay=exp.ema_momentum, use_ema=exp.ema)
+
+        self.evaluator = exp.get_evaluator(
+            batch_size=batch_size, is_distributed=jax.process_count() > 1)
+        self.size_rng = random.Random((exp.seed or 0) + 1234)
+        self.prefetcher = DevicePrefetcher(self.train_loader)
+        self.data_iter = iter(self.prefetcher)
+        logger.info("init done; %d iters/epoch, device mem %.0f MB",
+                    self.iters_per_epoch, device_mem_usage_mb())
+
+    def _load_init_ckpt(self, path: str):
+        ckpt = load_checkpoint(path)
+        model_vars = ckpt.get("model", ckpt)
+        self.state = self.state._replace(
+            params=load_matched(self.state.params, model_vars.get(
+                "params", model_vars)),
+            batch_stats=load_matched(
+                self.state.batch_stats, model_vars.get("batch_stats", {})),
+        )
+        logger.info("loaded init checkpoint %s", path)
+
+    # ------------------------------------------------------------------
+    def before_epoch(self):
+        exp = self.exp
+        logger.info("---> start train epoch %d", self.epoch + 1)
+        if (self.epoch + 1 == self.max_epoch - exp.no_aug_epochs
+                or getattr(self.args, "no_aug", False)):
+            logger.info("--->No mosaic aug now! Add additional L1 loss now!")
+            self.train_loader.close_mosaic()
+            self.use_l1 = True
+            exp.eval_interval = 1
+
+    def train_in_iter(self):
+        exp = self.exp
+        cur_size = self.input_size
+        for it in range(self.iters_per_epoch):
+            iter_start = time.perf_counter()
+            imgs, labels, _, _ = self.data_iter.next()
+            data_end = time.perf_counter()
+
+            # multiscale bucket switch every 10 global iters
+            # (ref trainer.py:147 + yolox_base.py:185-213)
+            global_iter = self.epoch * self.iters_per_epoch + it
+            if global_iter % 10 == 0:
+                cur_size = exp.random_input_size(self.size_rng)
+            if tuple(cur_size) != tuple(imgs.shape[1:3]):
+                scale_y = cur_size[0] / imgs.shape[1]
+                scale_x = cur_size[1] / imgs.shape[2]
+                imgs = resize_batch(imgs, tuple(cur_size))
+                # labels layout: [cls, cx, cy, w, h] -> x at 1,3 ; y at 2,4
+                # (ref exp.preprocess scales targets, yolox_base.py:215-222)
+                scale = jnp.asarray([1.0, scale_x, scale_y, scale_x, scale_y])
+                labels = jnp.asarray(labels) * scale
+
+            self.state, metrics = self.train_step(
+                self.state, imgs, labels, use_l1=self.use_l1)
+            if (it + 1) % exp.print_interval == 0:
+                metrics = jax.device_get(metrics)  # sync point
+                iter_end = time.perf_counter()
+                self.meter.update(
+                    data_time=data_end - iter_start,
+                    iter_time=iter_end - iter_start,
+                    lr=float(np.asarray(self.lr_schedule(
+                        jnp.asarray(global_iter, jnp.float32)))),
+                    **{k: float(v) for k, v in metrics.items()})
+                self._log_progress(it, cur_size)
+
+    def _log_progress(self, it: int, cur_size):
+        left_iters = (self.iters_per_epoch * (self.max_epoch - self.epoch)
+                      - (it + 1))
+        eta = left_iters * self.meter["iter_time"].avg / max(
+            self.exp.print_interval, 1)
+        loss_str = ", ".join(
+            f"{k}: {self.meter[k].latest:.3f}"
+            for k in ("loss", "iou_loss", "obj_loss", "cls_loss", "l1_loss"))
+        logger.info(
+            "epoch: %d/%d, iter: %d/%d, %s, lr: %.3e, size: %s, ETA: %.0fs",
+            self.epoch + 1, self.max_epoch, it + 1, self.iters_per_epoch,
+            loss_str, self.meter["lr"].latest, cur_size, eta)
+
+    # ------------------------------------------------------------------
+    def after_epoch(self):
+        self.save_ckpt("latest")
+        if (self.epoch + 1) % self.exp.eval_interval == 0:
+            self.evaluate_and_save_model()
+
+    def eval_variables(self) -> Dict[str, Any]:
+        if self.state.ema is not None:
+            return self.state.ema.shadow
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    def evaluate_and_save_model(self):
+        ap, ap50, summary = self.exp.eval(
+            self.eval_variables(), self.evaluator)
+        logger.info("epoch %d eval: %s", self.epoch + 1, summary)
+        self.save_ckpt(f"epoch_{self.epoch + 1}", ap50 > self.best_ap)
+        self.best_ap = max(self.best_ap, ap50)
+
+    def save_ckpt(self, name: str, is_best: bool = False):
+        if self.rank != 0:
+            return
+        state = {
+            "start_epoch": self.epoch + 1,
+            "model": jax.device_get(self.eval_variables()),
+            "raw_model": jax.device_get({
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats}),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "best_ap": self.best_ap,
+        }
+        save_checkpoint(state, is_best, self.file_name, name)
+
+    def resume_train(self):
+        args = self.args
+        if getattr(args, "resume", False):
+            ckpt_path = args.ckpt or os.path.join(
+                self.file_name, "latest_ckpt.msgpack")
+            ckpt = load_checkpoint(ckpt_path)
+            raw = ckpt.get("raw_model", ckpt.get("model"))
+            self.state = self.state._replace(
+                params=load_matched(self.state.params, raw["params"]),
+                batch_stats=load_matched(self.state.batch_stats,
+                                         raw.get("batch_stats", {})),
+            )
+            self.start_epoch = (args.start_epoch
+                                if getattr(args, "start_epoch", None)
+                                else ckpt.get("start_epoch", 0))
+            self.best_ap = ckpt.get("best_ap", 0.0)
+            logger.info("resumed from %s at epoch %d", ckpt_path,
+                        self.start_epoch)
+        elif getattr(args, "ckpt", None):
+            ckpt = load_checkpoint(args.ckpt)
+            model_vars = ckpt.get("model", ckpt)
+            self.state = self.state._replace(
+                params=load_matched(self.state.params, model_vars["params"]),
+                batch_stats=load_matched(self.state.batch_stats,
+                                         model_vars.get("batch_stats", {})))
+            logger.info("loaded fine-tune weights from %s", args.ckpt)

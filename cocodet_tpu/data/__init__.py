@@ -1,0 +1,6 @@
+from .coco import COCO_CLASS_ID, COCO_CLASSES, COCOAnnotations, COCODataset, get_datadir
+from .mosaic import MosaicDetection, adjust_box_anns
+from .samplers import (DetectionLoader, DevicePrefetcher, InfiniteSampler,
+                       YoloBatchSampler)
+from .transforms import (TrainTransform, ValTransform, augment_hsv, letterbox,
+                         mirror, random_affine, xyxy2cxcywh)

@@ -1,0 +1,165 @@
+"""Fixed-shape, fully-batched NMS for TPU.
+
+Replaces torchvision nms/batched_nms used by the reference
+(ref yolox/utils/boxes.py:32-82; choijhanyangackr/yolox_infer/nms.py:14-42)
+with an XLA-friendly algorithm:
+
+  1. top-k by score (static K) instead of boolean-mask gathers,
+  2. class-aware suppression via per-class coordinate offsets (the
+     torchvision batched_nms trick, which the reference relies on),
+  3. exact greedy suppression computed as a fixpoint over the strict
+     upper-triangular overlap matrix:
+
+        keep[c] = valid[c] and not any(r<c: keep[r] and iou[r,c] > thr)
+
+     iterated until convergence (lax.while_loop). Each iteration is a masked
+     (K,K)x(K) matvec that XLA maps onto the MXU; convergence takes
+     O(longest suppression chain) iterations — single digits on real
+     detection output — and the result is bit-identical to sequential greedy
+     NMS, so mAP parity with the GPU reference is preserved.
+
+Soft-NMS (ref nms.py pt_soft_nms) is provided as an O(K) score-decay scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import pairwise_iou
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray    # (..., max_det, 4) xyxy
+    scores: jnp.ndarray   # (..., max_det)
+    classes: jnp.ndarray  # (..., max_det) int32
+    obj: jnp.ndarray      # (..., max_det) objectness of kept boxes
+    valid: jnp.ndarray    # (..., max_det) bool
+
+
+def _greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
+                 max_iters: Optional[int] = None) -> jnp.ndarray:
+    """Exact greedy keep-mask for score-sorted ``boxes`` (K, 4).
+
+    Convergence: after t iterations every box whose longest suppression chain
+    is <= t has its final value, so the fixpoint equals sequential greedy NMS
+    within at most K iterations (typically <10 on detection output).
+    """
+    k = boxes.shape[0]
+    if max_iters is None:
+        max_iters = k
+    iou = pairwise_iou(boxes, boxes)
+    order = jnp.arange(k)
+    # row r can suppress col c only if r comes first (higher score) and both valid
+    overlap = (iou > iou_threshold) & (order[:, None] < order[None, :])
+    overlap = overlap & valid[:, None] & valid[None, :]
+    overlap_f = overlap.astype(jnp.float32)
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < max_iters)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = (keep.astype(jnp.float32) @ overlap_f) > 0.0
+        new_keep = valid & ~suppressed
+        return new_keep, keep, it + 1
+
+    init = (valid, jnp.zeros_like(valid), jnp.int32(0))
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    return keep
+
+
+def _soft_keep_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      valid: jnp.ndarray, iou_threshold: float,
+                      sigma: float = 0.5) -> jnp.ndarray:
+    """Gaussian soft-NMS score decay (sequential scan over score order)."""
+    k = boxes.shape[0]
+    iou = pairwise_iou(boxes, boxes)
+
+    def body(carry, i):
+        s = carry
+        # pick current best among unprocessed is implicit: boxes pre-sorted.
+        decay = jnp.exp(-(iou[i] ** 2) / sigma)
+        decay = jnp.where(jnp.arange(k) > i, decay, 1.0)
+        s = s * jnp.where(valid[i], decay, jnp.ones_like(decay))
+        return s, None
+
+    s, _ = jax.lax.scan(body, scores, jnp.arange(k))
+    return s
+
+
+def nms_single(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    obj: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float = 0.65,
+    max_det: int = 300,
+    class_agnostic: bool = False,
+    soft: bool = False,
+) -> NMSResult:
+    """NMS for one image. Inputs are (K, …) score-sorted descending."""
+    if class_agnostic:
+        nms_boxes = boxes
+    else:
+        # per-class coordinate offset => cross-class IoU is exactly 0
+        span = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
+        offset = classes.astype(boxes.dtype)[:, None] * span
+        nms_boxes = boxes + offset
+
+    if soft:
+        new_scores = _soft_keep_scores(nms_boxes, scores, valid, iou_threshold)
+        keep = valid & (new_scores > 0.0)
+        scores = new_scores
+        # re-sort by decayed score
+        order = jnp.argsort(-jnp.where(keep, scores, -jnp.inf))
+        boxes, scores, classes, obj, keep = (
+            boxes[order], scores[order], classes[order], obj[order], keep[order])
+    else:
+        keep = _greedy_keep(nms_boxes, valid, iou_threshold)
+
+    # compact kept detections to the front, cap at max_det
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    k = boxes.shape[0]
+    # destination slot per source box; out-of-bounds (dropped) when not kept
+    # or beyond the max_det cap
+    dest = jnp.where(keep, rank, max_det + 1)
+    take = jnp.full((max_det,), k, jnp.int32)
+    take = take.at[dest].set(jnp.arange(k), mode="drop")
+    # rebuild: for slot j, source index = take[j] (k = invalid sentinel)
+    in_range = take < k
+    take_c = jnp.clip(take, 0, k - 1)
+    return NMSResult(
+        boxes=jnp.where(in_range[:, None], boxes[take_c], 0.0),
+        scores=jnp.where(in_range, scores[take_c], 0.0),
+        classes=jnp.where(in_range, classes[take_c], -1),
+        obj=jnp.where(in_range, obj[take_c], 0.0),
+        valid=in_range,
+    )
+
+
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    obj: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float = 0.65,
+    max_det: int = 300,
+    class_agnostic: bool = False,
+    soft: bool = False,
+) -> NMSResult:
+    """vmap of nms_single over the batch dimension."""
+    fn = partial(
+        nms_single,
+        iou_threshold=iou_threshold,
+        max_det=max_det,
+        class_agnostic=class_agnostic,
+        soft=soft,
+    )
+    return jax.vmap(fn)(boxes, scores, classes, obj, valid)
