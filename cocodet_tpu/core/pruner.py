@@ -1,0 +1,282 @@
+"""Pruner — iterative structured channel pruning with distillation.
+
+Parity target: ref yolox/core/pruner.py:39-520:
+  * student trains with detection loss + attention-transfer distillation
+    from a frozen teacher (the init checkpoint), ref pruner.py:118-173;
+  * every `prune_interval` fraction of an epoch, per-channel Taylor
+    importance is accumulated over the val loader:
+        importance = (bn.scale * d bn.scale + bn.bias * d bn.bias)^2
+    (ref BaseConv.score, network_blocks.py:86-95), already-pruned channels
+    get +inf, all channels are globally sorted and the lowest
+    `prune_channels` are masked (ref pruner.py:362-448);
+  * pruning writes ChannelMask: scale *= keep, offset += bn.bias * newly
+    removed (ref BaseConv.prune, network_blocks.py:97-104);
+  * EMA is forced off (ref pruner.py:52).
+
+TPU re-design: importance comes from one jitted grad pass per val batch
+(grads of the detection loss wrt BN affine params); mask surgery is a pure
+pytree transform keyed on the ``masks`` collection (its structure IS the
+prunable-conv set). The teacher forward shares the student graph with
+stop_gradient — one compiled program for student+teacher+distill.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from ..models.distill import distiller_loss
+from ..ops.losses import yolox_losses
+from ..utils.checkpoint import load_checkpoint, load_matched
+from ..utils.logger import logger
+from .train_state import TrainState, create_train_state
+from .trainer import Trainer
+
+
+def make_distill_train_step(model, teacher_model, optimizer, strides,
+                            num_classes=80, iou_type="iou",
+                            distill_coefficient=1.0, freeze_optimizer=False):
+    """Train step with detection + distillation loss (ref pruner.py:118-173,
+    tuner.py:123-146). ``freeze_optimizer`` supports the reference's
+    prune_start_epoch gating (optimizer steps suppressed, pruner.py:140-155)."""
+
+    @functools.partial(jax.jit, static_argnames=("use_l1", "step_optimizer"))
+    def train_step(state: TrainState, teacher_vars, masks, images, labels,
+                   use_l1: bool = False, step_optimizer: bool = True):
+        def loss_fn(params):
+            student_vars = {"params": params, "batch_stats": state.batch_stats}
+            if masks:
+                student_vars["masks"] = masks
+            (outputs, s_taps), mutated = model.apply(
+                student_vars, images, train=True, return_taps=True,
+                mutable=["batch_stats"])
+            det, _ = yolox_losses(outputs, labels, strides=strides,
+                                  num_classes=num_classes, use_l1=use_l1,
+                                  iou_type=iou_type)
+            _, t_taps = teacher_model.apply(teacher_vars, images,
+                                            return_taps=True)
+            dis = distiller_loss(s_taps, t_taps)
+            total = det.total + distill_coefficient * dis["dis_loss"]
+            return total, (det, dis, mutated.get("batch_stats", {}))
+
+        (_, (det, dis, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if step_optimizer:
+            updates, new_opt = optimizer.update(grads, state.opt_state,
+                                                state.params)
+            new_params = optax.apply_updates(state.params, updates)
+        else:
+            new_opt, new_params = state.opt_state, state.params
+        new_state = state._replace(params=new_params, batch_stats=new_stats,
+                                   opt_state=new_opt, step=state.step + 1)
+        metrics = {"loss": det.total, "iou_loss": det.iou,
+                   "obj_loss": det.obj, "cls_loss": det.cls,
+                   "dis_loss": dis["dis_loss"],
+                   "dis_backbone_loss": dis["dis_backbone_loss"],
+                   "dis_fpn_loss": dis["dis_fpn_loss"]}
+        return new_state, metrics
+
+    return train_step
+
+
+# --------------------------------------------------------------------------
+# channel-importance scoring + mask surgery (pure pytree transforms)
+# --------------------------------------------------------------------------
+
+
+def make_score_step(model, strides, num_classes=80, iou_type="iou"):
+    """One jitted pass: grads of the detection loss wrt params; returns the
+    per-channel Taylor importance for every masked conv."""
+
+    @jax.jit
+    def score_step(variables, images, labels):
+        def loss_fn(params):
+            outputs = model.apply(
+                {**variables, "params": params}, images, train=False)
+            det, _ = yolox_losses(outputs, labels, strides=strides,
+                                  num_classes=num_classes, iou_type=iou_type)
+            return det.total
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        return channel_importance(variables, grads)
+
+    return score_step
+
+
+def channel_importance(variables: Dict, grads: Dict) -> Dict[Tuple, jnp.ndarray]:
+    """importance = (bn.scale*g_scale + bn.bias*g_bias)^2 per masked conv
+    (ref network_blocks.py:86-95). Keys are the mask scope paths."""
+    params = flatten_dict(variables["params"])
+    gflat = flatten_dict(grads)
+    masks = flatten_dict(variables.get("masks", {}))
+    out = {}
+    for path in masks:
+        if path[-2:] != ("mask", "scale"):
+            continue
+        scope = path[:-2]
+        bn_scale = params[scope + ("bn", "scale")]
+        bn_bias = params[scope + ("bn", "bias")]
+        g_scale = gflat[scope + ("bn", "scale")]
+        g_bias = gflat[scope + ("bn", "bias")]
+        out[scope] = jnp.square(bn_scale * g_scale + bn_bias * g_bias)
+    return out
+
+
+def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
+                        prune_channels: int) -> Tuple[Dict, int]:
+    """Globally sort channel importances (already-pruned = +inf) and mask
+    the lowest ``prune_channels`` (ref pruner.py:362-448 +
+    network_blocks.py:97-104). Returns (new variables, newly pruned count)."""
+    params = flatten_dict(variables["params"])
+    masks = dict(flatten_dict(variables["masks"]))
+
+    flat_scores = []
+    index = []  # (scope, channel)
+    for scope, imp in importance.items():
+        scale = np.asarray(masks[scope + ("mask", "scale")])
+        imp = np.where(scale <= 0.0, np.inf, np.asarray(imp))
+        for c in range(imp.shape[0]):
+            flat_scores.append(imp[c])
+            index.append((scope, c))
+    order = np.argsort(np.asarray(flat_scores), kind="stable")
+    to_prune = [index[i] for i in order[:prune_channels]
+                if np.isfinite(flat_scores[order[i]])]
+
+    by_scope: Dict[Tuple, list] = {}
+    for scope, c in to_prune:
+        by_scope.setdefault(scope, []).append(c)
+
+    n_new = 0
+    for scope, chans in by_scope.items():
+        scale = np.asarray(masks[scope + ("mask", "scale")]).copy()
+        offset = np.asarray(masks[scope + ("mask", "offset")]).copy()
+        bn_bias = np.asarray(params[scope + ("bn", "bias")])
+        keep = np.ones_like(scale)
+        keep[chans] = 0.0
+        newly = (1.0 - keep) * scale  # channels removed just now
+        offset += bn_bias * newly
+        scale *= keep
+        masks[scope + ("mask", "scale")] = jnp.asarray(scale)
+        masks[scope + ("mask", "offset")] = jnp.asarray(offset)
+        n_new += int(newly.sum())
+
+    new_vars = dict(variables)
+    new_vars["masks"] = unflatten_dict(masks)
+    return new_vars, n_new
+
+
+def mask_stats(variables: Dict) -> Dict[str, Tuple[int, int]]:
+    """Per-conv (kept, total) channel stats for logging
+    (ref pruner.py per-stage channel table)."""
+    masks = flatten_dict(variables.get("masks", {}))
+    out = {}
+    for path, v in masks.items():
+        if path[-2:] == ("mask", "scale"):
+            arr = np.asarray(v)
+            out["/".join(path[:-2])] = (int(arr.sum()), arr.shape[0])
+    return out
+
+
+class Pruner(Trainer):
+    """Trainer + teacher distillation + periodic channel pruning."""
+
+    def __init__(self, exp, args):
+        super().__init__(exp, args)
+        self.prune_interval = getattr(exp, "prune_interval", 0.5)
+        self.prune_channels = getattr(exp, "prune_channels", 64)
+        self.prune_start_epoch = getattr(exp, "prune_start_epoch", 0)
+        self.score_batches = getattr(exp, "prune_score_batches", 8)
+
+    def before_train(self):
+        exp = self.exp
+        exp.ema = False  # ref pruner.py:52
+        self.model = exp.get_model(use_mask=True)
+        self.teacher_model = exp.get_model()
+
+        batch_size = self.args.batch_size
+        self.train_loader = exp.get_data_loader(
+            batch_size=batch_size, no_aug=True, rank=self.rank,
+            world_size=jax.process_count(), seed=exp.seed or 0)
+        self.iters_per_epoch = max(
+            len(self.train_loader.dataset) // batch_size, 1)
+        lr = exp.basic_lr_per_img * batch_size
+        self.lr_schedule = exp.get_lr_scheduler(lr, self.iters_per_epoch)
+        self.optimizer_tx = exp.get_optimizer(batch_size)
+
+        rng = jax.random.PRNGKey(exp.seed or 0)
+        sample = jnp.zeros((1, *exp.input_size, 3), jnp.float32)
+        init_vars = self.model.init(rng, sample)
+        self.masks = init_vars.get("masks", {})
+        self.state = create_train_state(self.model, self.optimizer_tx, rng,
+                                        sample, use_ema=False,
+                                        init_vars=init_vars)
+
+        init_ckpt = getattr(exp, "init_ckpt", None)
+        if init_ckpt:
+            self._load_init_ckpt(init_ckpt)
+        # frozen teacher = init weights (ref pruner.py:180-208)
+        self.teacher_vars = {"params": self.state.params,
+                             "batch_stats": self.state.batch_stats}
+
+        self.train_step = make_distill_train_step(
+            self.model, self.teacher_model, self.optimizer_tx,
+            strides=exp.strides, num_classes=exp.num_classes,
+            iou_type=exp.iou_type)
+        self.score_step = make_score_step(self.model, exp.strides,
+                                          exp.num_classes, exp.iou_type)
+        self.evaluator = exp.get_evaluator(batch_size=batch_size)
+        import random as _random
+        self.size_rng = _random.Random((exp.seed or 0) + 1234)
+        from ..data.samplers import DevicePrefetcher
+        self.prefetcher = DevicePrefetcher(self.train_loader)
+        self.data_iter = iter(self.prefetcher)
+        logger.info("Pruner init done; %d iters/epoch", self.iters_per_epoch)
+
+    def _variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "masks": self.masks}
+
+    def train_in_iter(self):
+        exp = self.exp
+        prune_every = max(int(self.iters_per_epoch * self.prune_interval), 1)
+        for it in range(self.iters_per_epoch):
+            imgs, labels, _, _ = self.data_iter.next()
+            step_opt = self.epoch >= self.prune_start_epoch
+            self.state, metrics = self.train_step(
+                self.state, self.teacher_vars, self.masks, imgs, labels,
+                use_l1=self.use_l1, step_optimizer=step_opt)
+            if (it + 1) % exp.print_interval == 0:
+                metrics = jax.device_get(metrics)
+                self.meter.update(**{k: float(v) for k, v in metrics.items()})
+                self._log_progress(it, exp.input_size)
+            if (it + 1) % prune_every == 0:
+                self.prune()
+
+    def prune(self):
+        """Accumulate importance over score batches, prune globally."""
+        acc: Optional[Dict] = None
+        for _ in range(self.score_batches):
+            imgs, labels, _, _ = self.data_iter.next()
+            imp = self.score_step(self._variables(), imgs, labels)
+            imp = jax.device_get(imp)
+            acc = imp if acc is None else {
+                k: acc[k] + imp[k] for k in imp}
+        new_vars, n_new = apply_channel_prune(
+            self._variables(), acc, self.prune_channels)
+        self.masks = new_vars["masks"]
+        stats = mask_stats(new_vars)
+        kept = sum(k for k, _ in stats.values())
+        total = sum(t for _, t in stats.values())
+        logger.info("pruned %d new channels; kept %d/%d (%.1f%%)",
+                    n_new, kept, total, 100.0 * kept / max(total, 1))
+
+    def eval_variables(self):
+        return self._variables()

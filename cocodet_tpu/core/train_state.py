@@ -65,11 +65,14 @@ def make_train_step(
 
     @functools.partial(jax.jit, static_argnames=("use_l1",),
                        donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, images, labels, use_l1: bool = False):
+    def train_step(state: TrainState, images, labels, use_l1: bool = False,
+                   masks=None):
         def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if masks:
+                variables["masks"] = masks
             outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
+                variables, images, train=True, mutable=["batch_stats"])
             losses, _ = yolox_losses(
                 outputs, labels, strides=strides, num_classes=num_classes,
                 use_l1=use_l1, iou_type=iou_type)

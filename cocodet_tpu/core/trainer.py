@@ -114,6 +114,14 @@ class Trainer:
         self.size_rng = random.Random((exp.seed or 0) + 1234)
         self.prefetcher = DevicePrefetcher(self.train_loader)
         self.data_iter = iter(self.prefetcher)
+        self.tblogger = None
+        if self.rank == 0:
+            try:  # TensorBoard scalars (ref trainer.py:207-209,335-337)
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tblogger = SummaryWriter(self.file_name)
+            except Exception:
+                logger.info("tensorboard unavailable; skipping TB logs")
         logger.info("init done; %d iters/epoch, device mem %.0f MB",
                     self.iters_per_epoch, device_mem_usage_mb())
 
@@ -162,7 +170,8 @@ class Trainer:
                 labels = jnp.asarray(labels) * scale
 
             self.state, metrics = self.train_step(
-                self.state, imgs, labels, use_l1=self.use_l1)
+                self.state, imgs, labels, use_l1=self.use_l1,
+                masks=getattr(self, "masks", None))
             if (it + 1) % exp.print_interval == 0:
                 metrics = jax.device_get(metrics)  # sync point
                 iter_end = time.perf_counter()
@@ -200,9 +209,12 @@ class Trainer:
                 "batch_stats": self.state.batch_stats}
 
     def evaluate_and_save_model(self):
-        ap, ap50, summary = self.exp.eval(
-            self.eval_variables(), self.evaluator)
+        ap, ap50, summary = self.evaluator.evaluate(
+            self.exp, self.eval_variables(), model=self.model)
         logger.info("epoch %d eval: %s", self.epoch + 1, summary)
+        if self.tblogger is not None:
+            self.tblogger.add_scalar("val/COCOAP50", ap50, self.epoch + 1)
+            self.tblogger.add_scalar("val/COCOAP50_95", ap, self.epoch + 1)
         self.save_ckpt(f"epoch_{self.epoch + 1}", ap50 > self.best_ap)
         self.best_ap = max(self.best_ap, ap50)
 

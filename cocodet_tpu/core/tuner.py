@@ -1,0 +1,58 @@
+"""Tuner — fine-tune runtime with optional distillation.
+
+Parity target: ref yolox/core/tuner.py:37-416: a Trainer whose
+train_one_iter adds attention-transfer distillation when
+``distill_coefficient > 0`` (ref tuner.py:123-146), teacher = the init
+checkpoint (ref tuner.py:197-210), and optimizer stepping gated by
+``tune_start_epoch``.
+"""
+
+from __future__ import annotations
+
+import random as _random
+
+import jax
+import jax.numpy as jnp
+
+from ..data.samplers import DevicePrefetcher
+from ..utils.logger import logger
+from .pruner import make_distill_train_step
+from .train_state import create_train_state, make_train_step
+from .trainer import Trainer
+
+
+class Tuner(Trainer):
+    def __init__(self, exp, args):
+        super().__init__(exp, args)
+        self.distill_coefficient = getattr(exp, "distill_coefficient", 0.0)
+        self.tune_start_epoch = getattr(exp, "tune_start_epoch", 0)
+
+    def before_train(self):
+        super().before_train()
+        if self.distill_coefficient > 0:
+            exp = self.exp
+            self.teacher_model = exp.get_model()
+            self.teacher_vars = {"params": self.state.params,
+                                 "batch_stats": self.state.batch_stats}
+            self.distill_step = make_distill_train_step(
+                self.model, self.teacher_model, self.optimizer_tx,
+                strides=exp.strides, num_classes=exp.num_classes,
+                iou_type=exp.iou_type,
+                distill_coefficient=self.distill_coefficient)
+            logger.info("Tuner: distillation on (coef=%.3g)",
+                        self.distill_coefficient)
+
+    def train_in_iter(self):
+        if self.distill_coefficient <= 0:
+            return super().train_in_iter()
+        exp = self.exp
+        for it in range(self.iters_per_epoch):
+            imgs, labels, _, _ = self.data_iter.next()
+            self.state, metrics = self.distill_step(
+                self.state, self.teacher_vars, {}, imgs, labels,
+                use_l1=self.use_l1,
+                step_optimizer=self.epoch >= self.tune_start_epoch)
+            if (it + 1) % exp.print_interval == 0:
+                metrics = jax.device_get(metrics)
+                self.meter.update(**{k: float(v) for k, v in metrics.items()})
+                self._log_progress(it, exp.input_size)

@@ -56,6 +56,8 @@ def get_activation(name: str = "silu") -> Callable[[jnp.ndarray], jnp.ndarray]:
         return jax.nn.relu
     if name in ("lrelu", "leaky_relu"):
         return partial(jax.nn.leaky_relu, negative_slope=0.1)
+    if name == "mish":
+        return lambda x: x * jnp.tanh(jax.nn.softplus(x))
     if name in ("identity", "none"):
         return lambda x: x
     raise ValueError(f"Unsupported act type: {name}")

@@ -21,7 +21,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 from flax.traverse_util import flatten_dict, unflatten_dict
 
 
@@ -80,7 +80,7 @@ def fuse_batchnorm(variables: Dict[str, Any], eps: float = 1e-3) -> Dict[str, An
         else:
             fused[path] = kernel
 
-    return {"params": freeze(unflatten_dict(fused))}
+    return {"params": unflatten_dict(fused)}
 
 
 def bn_stats_allreduce(batch_stats: Dict[str, Any], axis_name: str):

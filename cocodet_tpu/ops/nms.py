@@ -41,22 +41,31 @@ class NMSResult(NamedTuple):
 
 
 def _greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
-                 max_iters: Optional[int] = None) -> jnp.ndarray:
+                 max_iters: Optional[int] = None,
+                 use_pallas: bool = False) -> jnp.ndarray:
     """Exact greedy keep-mask for score-sorted ``boxes`` (K, 4).
 
     Convergence: after t iterations every box whose longest suppression chain
     is <= t has its final value, so the fixpoint equals sequential greedy NMS
     within at most K iterations (typically <10 on detection output).
+
+    use_pallas: build the overlap matrix with the tiled VMEM kernel
+    (ops/pallas/nms_kernels.py) — requires K % 128 == 0.
     """
     k = boxes.shape[0]
     if max_iters is None:
         max_iters = k
-    iou = pairwise_iou(boxes, boxes)
-    order = jnp.arange(k)
-    # row r can suppress col c only if r comes first (higher score) and both valid
-    overlap = (iou > iou_threshold) & (order[:, None] < order[None, :])
-    overlap = overlap & valid[:, None] & valid[None, :]
-    overlap_f = overlap.astype(jnp.float32)
+    if use_pallas and k % 128 == 0:
+        from .pallas.nms_kernels import overlap_matrix
+
+        overlap_f = overlap_matrix(boxes, valid, iou_threshold)
+    else:
+        iou = pairwise_iou(boxes, boxes)
+        order = jnp.arange(k)
+        # row r suppresses col c only if r ranks first and both are valid
+        overlap = (iou > iou_threshold) & (order[:, None] < order[None, :])
+        overlap = overlap & valid[:, None] & valid[None, :]
+        overlap_f = overlap.astype(jnp.float32)
 
     def cond(state):
         keep, prev, it = state

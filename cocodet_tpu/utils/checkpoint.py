@@ -29,6 +29,7 @@ def save_checkpoint(state: Dict[str, Any], is_best: bool, save_dir: str,
                     model_name: str = "latest") -> str:
     """Write ``<name>_ckpt.msgpack`` (+ best copy) — ref checkpoint.py:28-35."""
     os.makedirs(save_dir, exist_ok=True)
+    state = serialization.to_state_dict(state)  # FrozenDict -> plain dict
     state = jax.tree_util.tree_map(np.asarray, state)
     path = os.path.join(save_dir, f"{model_name}_ckpt.msgpack")
     with open(path, "wb") as f:

@@ -32,7 +32,6 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
-from flax.core import freeze
 from flax.traverse_util import unflatten_dict
 
 from .logger import logger
@@ -160,9 +159,9 @@ def convert_state_dict(state_dict: Dict[str, Any], variant: str = "p6",
             value = value.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         flat[coll][path] = value
 
-    out = {"params": freeze(unflatten_dict(flat["params"]))}
+    out = {"params": unflatten_dict(flat["params"])}
     if flat["batch_stats"]:
-        out["batch_stats"] = freeze(unflatten_dict(flat["batch_stats"]))
+        out["batch_stats"] = unflatten_dict(flat["batch_stats"])
     return out
 
 

@@ -1,0 +1,251 @@
+#!/usr/bin/env python3
+"""Standalone submission inference harness.
+
+Parity target: ref choijhanyangackr/main.py:16-286 — the competition
+"product": JSON config + CLI overrides, model built by type string, sparse
+or dense checkpoint load, optional activation rewrite, warmup forward,
+batched folder inference with phase profiling, contrast TTA, COCO-json
+output, optional self-evaluation, --dummy smoke mode, challenge-mode
+header records.
+
+TPU re-design: the entire per-batch pipeline — forward, grid decode, score
+filter, class-aware NMS — is ONE jitted program per shape bucket
+(ref main.py:153-203 runs a python loop with per-image torchvision NMS);
+aspect bucketing + fixed shape grid bounds compiles to a handful.
+
+Run:  python harness/main.py --config harness/config/yolox_m_p6.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def count_params(tree) -> int:
+    import jax
+
+    return sum(int(np.prod(np.shape(p)))
+               for p in jax.tree_util.tree_leaves(tree))
+
+
+def build_model_and_vars(cfg, rng_seed: int = 0):
+    """Model by type string + checkpoint load (ref main.py:31-59).
+
+    Checkpoint formats:
+      - .msgpack: this framework's fused/pruned deployment trees
+      - .pth: reference torch checkpoints incl. sparse-COO merged_49.pth
+        (ref 03_jh_merge.py:66-87), densified on load (ref main.py:52-55)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cocodet_tpu.models import build_model
+
+    mcfg = cfg["model"]
+    name_map = {
+        "yolox": "yolox", "yolox-dw": "yolox-dw",
+        "yolox-m-p6": "yolox-p6", "yolox-m-p6-pr": "yolox-p6",
+        "yolox-p6": "yolox-p6", "yolox-p6-v2": "yolox-p6v2",
+    }
+    name = name_map.get(mcfg.get("type", "yolox-p6"), "yolox-p6")
+    model = build_model(
+        name,
+        depth=float(mcfg.get("depth", 0.67)),
+        width=float(mcfg.get("width", 0.75)),
+        fused=True,
+        dtype=jnp.bfloat16 if cfg.get("half", True) else jnp.float32,
+    )
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(rng_seed), x)
+
+    ckpt = cfg.get("ckpt")
+    if ckpt and os.path.exists(ckpt):
+        if ckpt.endswith(".pth"):
+            from cocodet_tpu.utils.torch_import import load_torch_checkpoint
+            from cocodet_tpu.utils.checkpoint import load_matched
+
+            imported = load_torch_checkpoint(
+                ckpt, variant="p6" if "p6" in name else "standard")
+            variables = {"params": load_matched(
+                variables["params"], imported["params"])}
+        else:
+            from cocodet_tpu.utils.checkpoint import load_checkpoint, load_matched
+
+            loaded = load_checkpoint(ckpt)
+            tree = loaded.get("model", loaded)
+            variables = {"params": load_matched(
+                variables["params"], tree.get("params", tree))}
+        print(f"loaded checkpoint {ckpt}")
+    else:
+        print("WARNING: no checkpoint — random weights (dummy-quality output)")
+
+    print(f"# params: {count_params(variables['params']):,}")
+    return model, variables
+
+
+def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
+        dummy: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from cocodet_tpu.data.coco import COCO_CLASS_ID
+    from cocodet_tpu.data.folder import FolderLoader, ImageFolderDataset
+    from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
+    from cocodet_tpu.utils.metric import Timer
+
+    timer = Timer()
+    model, variables = build_model_and_vars(cfg)
+    strides = (8, 16, 32, 64) if "p6" in cfg["model"].get("type", "p6") else (8, 16, 32)
+
+    pp = cfg.get("postprocess", {})
+    ppcfg = PostprocessConfig(
+        conf_threshold=float(pp.get("conf_threshold", 0.001)),
+        nms_threshold=float(pp.get("nms_threshold", 0.55)),
+        multi_class=bool(pp.get("multi_class", False)),
+        soft=bool(pp.get("soft", False)),
+        rmmop=tuple(pp["rmmop"]) if pp.get("rmmop") else None,
+        pre_nms_topk=int(pp.get("max_num_nms", 2000)),
+        max_det=int(pp.get("max_num_det", 300)),
+    )
+
+    aug = cfg.get("input_aug", True)
+
+    @jax.jit
+    def step(images):
+        if aug:
+            # contrast TTA: x*0.9 + 11.4 (ref main.py:160-164)
+            images = images * 0.9 + 11.4
+        outputs = model.apply(variables, images)
+        return postprocess(outputs, strides, ppcfg)
+
+    timer.toc("setup")
+
+    results = []
+    if challenge:
+        results.append({"framework": "cocodet_tpu(jax/XLA)",
+                        "parameters": count_params(variables["params"])})
+
+    if dummy:
+        # --dummy smoke mode (ref main.py:124,185-186): random input, no NMS io
+        imgs = np.random.rand(int(cfg["dataloader"]["batch_size"]),
+                              cfg["img_size"], cfg["img_size"], 3) * 255
+        res = jax.block_until_ready(step(jnp.asarray(imgs, jnp.float32)))
+        print("dummy forward ok:", res.boxes.shape)
+        return []
+
+    dataset = ImageFolderDataset(cfg["data_dir"], cfg["img_size"])
+    loader = FolderLoader(dataset, int(cfg["dataloader"]["batch_size"]))
+
+    # warmup (ref main.py:137-140)
+    warm = np.full((int(cfg["dataloader"]["batch_size"]),
+                    cfg["img_size"], cfg["img_size"], 3), 114.0, np.float32)
+    jax.block_until_ready(step(jnp.asarray(warm)))
+    timer.toc("warmup")
+
+    n_img = 0
+    for imgs, infos in loader:
+        timer.tic()
+        batch = jnp.asarray(imgs)
+        timer.toc("h2d")
+        res = jax.block_until_ready(step(batch))
+        timer.toc("forward+nms")
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        classes = np.asarray(res.classes)
+        valid = np.asarray(res.valid)
+        for i, (h, w, name) in enumerate(infos):
+            scale = min(cfg["img_size"] / h, cfg["img_size"] / w)
+            image_id = int(os.path.splitext(name)[0].lstrip("0") or 0) \
+                if name.split(".")[0].isdigit() else name
+            any_det = False
+            for j in range(boxes.shape[1]):
+                if not valid[i, j]:
+                    break
+                x1, y1, x2, y2 = boxes[i, j] / scale
+                x1, x2 = np.clip([x1, x2], 0, w)
+                y1, y2 = np.clip([y1, y2], 0, h)
+                results.append({
+                    "image_id": image_id,
+                    "category_id": COCO_CLASS_ID[int(classes[i, j])],
+                    "bbox": [round(float(x1), 2), round(float(y1), 2),
+                             round(float(x2 - x1), 2),
+                             round(float(y2 - y1), 2)],
+                    "score": round(float(scores[i, j]), 5),
+                    "segmentation": [],
+                })
+                any_det = True
+            if not any_det:
+                # dummy record for empty images (ref common/utils.py:61-71)
+                results.append({"image_id": image_id, "category_id": 1,
+                                "bbox": [0.0, 0.0, 0.0, 0.0], "score": 0.0,
+                                "segmentation": []})
+            n_img += 1
+        timer.toc("convert")
+
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+    timer.toc("json")
+    print(f"wrote {len(results)} records for {n_img} images -> {out_path}")
+
+    if profile:
+        for name, meter in timer.meters.items():
+            print(f"  {name:12s}: total {meter.global_avg * meter._count:.3f}s")
+
+    ann = cfg.get("annotation")
+    if ann and os.path.exists(ann):
+        # self-evaluation (ref main.py:230-235)
+        from cocodet_tpu.evaluators.coco_metric import COCOMeanAP
+
+        with open(ann) as f:
+            gt = json.load(f)
+        metric = COCOMeanAP()
+        metric.add_gt_annotations(gt["annotations"])
+        metric.add_detections([r for r in results if "bbox" in r
+                               and r["score"] > 0])
+        stats = metric.summarize(verbose=True)
+        print(f"mAP@0.5 = {stats['AP50']:.4f}")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser("cocodet_tpu submission harness")
+    ap.add_argument("--config", default=os.path.join(
+        os.path.dirname(__file__), "config", "yolox_m_p6.json"))
+    ap.add_argument("--out", default="answersheet_4_04_cocodet.json")
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--challenge", action="store_true")
+    ap.add_argument("--dummy", action="store_true")
+    ap.add_argument("--img-size", type=int, default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    args = ap.parse_args()
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    # CLI overrides (ref main.py:259-284 precedence)
+    if args.img_size:
+        cfg["img_size"] = args.img_size
+    if args.ckpt:
+        cfg["ckpt"] = args.ckpt
+    if args.data_dir:
+        cfg["data_dir"] = args.data_dir
+    if args.batch_size:
+        cfg["dataloader"]["batch_size"] = args.batch_size
+
+    t0 = time.time()
+    run(cfg, args.out, profile=args.profile, challenge=args.challenge,
+        dummy=args.dummy)
+    print(f"total time: {time.time() - t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Train-step, EMA, LR schedule, and multi-device DP tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cocodet_tpu.core.train_state import (create_train_state, make_train_step,
+                                          resize_batch)
+from cocodet_tpu.models import build_model
+from cocodet_tpu.utils.ema import ema_init, ema_update
+from cocodet_tpu.utils.lr_scheduler import build_lr_schedule
+
+W, D = 0.125, 0.33
+
+
+def _setup(use_ema=True):
+    model = build_model("yolox-p6", depth=D, width=W)
+    # warmup-scale lr: the real schedule starts at 0 (quadratic warmup,
+    # ref lr_scheduler.py:113-131); a cold 0.01 step NaNs like the
+    # reference would without warmup
+    tx = optax.sgd(1e-4, momentum=0.9, nesterov=True)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (2, 64, 64, 3)) * 255.0
+    state = create_train_state(model, tx, rng, imgs, use_ema=use_ema)
+    labels = jnp.tile(
+        jnp.asarray([[[1.0, 32.0, 32.0, 16.0, 16.0]] + [[0.0] * 5] * 4]),
+        (2, 1, 1))
+    step = make_train_step(model, tx, strides=(8, 16, 32, 64),
+                           num_classes=80, donate=False)
+    return model, state, step, imgs, labels
+
+
+def test_train_step_decreases_loss():
+    model, state, step, imgs, labels = _setup(use_ema=False)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, imgs, labels)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # same batch: loss must drop
+    assert int(state.step) == 4
+
+
+def test_train_step_updates_bn_and_ema():
+    model, state, step, imgs, labels = _setup(use_ema=True)
+    stats0 = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    state, _ = step(state, imgs, labels)
+    stats1 = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(stats0), np.asarray(stats1))
+    assert int(state.ema.updates) == 1
+    # EMA shadow near init (decay ramp ~0 at t=1 -> shadow ~ current)
+    p_now = jax.tree_util.tree_leaves(state.params)[0]
+    p_ema = jax.tree_util.tree_leaves(state.ema.shadow["params"])[0]
+    assert np.allclose(np.asarray(p_now), np.asarray(p_ema), atol=1e-3)
+
+
+def test_ema_ramp():
+    tree = {"w": jnp.zeros((4,))}
+    st = ema_init(tree)
+    st = ema_update(st, {"w": jnp.ones((4,))}, decay=0.9998)
+    # d = 0.9998*(1-exp(-1/2000)) ~ 5e-4 -> shadow ~ 1*(1-d)
+    assert np.allclose(np.asarray(st.shadow["w"]), 0.9995, atol=1e-3)
+
+
+def test_lr_yoloxwarmcos_curve():
+    lr = 0.01
+    sched = build_lr_schedule("yoloxwarmcos", lr, iters_per_epoch=10,
+                              total_epochs=100, warmup_epochs=5,
+                              no_aug_epochs=15, min_lr_ratio=0.05)
+    # quadratic warmup (ref lr_scheduler.py:113-131)
+    assert float(sched(jnp.asarray(0.0))) == pytest.approx(0.0)
+    assert float(sched(jnp.asarray(25.0))) == pytest.approx(
+        lr * (25 / 50) ** 2)
+    assert float(sched(jnp.asarray(50.0))) == pytest.approx(lr, rel=1e-3)
+    # flat min during no-aug tail
+    assert float(sched(jnp.asarray(999.0))) == pytest.approx(lr * 0.05)
+    # cosine midpoint
+    mid = float(sched(jnp.asarray((50 + 850) / 2)))
+    assert lr * 0.05 < mid < lr
+
+
+def test_multiscale_resize_batch():
+    imgs = jnp.ones((2, 64, 64, 3))
+    out = resize_batch(imgs, (96, 96))
+    assert out.shape == (2, 96, 96, 3)
+    assert np.allclose(np.asarray(out), 1.0, atol=1e-5)
+
+
+def test_dp_sharded_train_step():
+    """Train step over an 8-device data mesh: grads/BN sync via XLA."""
+    from cocodet_tpu.parallel import make_mesh, replicate, shard_batch
+
+    n = len(jax.devices())
+    assert n == 8, f"conftest should give 8 cpu devices, got {n}"
+    mesh = make_mesh()
+    model, state, step, _, _ = _setup(use_ema=False)
+    imgs = jnp.zeros((8, 64, 64, 3))
+    labels = jnp.tile(
+        jnp.asarray([[[1.0, 32.0, 32.0, 16.0, 16.0]] + [[0.0] * 5] * 4]),
+        (8, 1, 1))
+    state = replicate(mesh, state)
+    imgs = shard_batch(mesh, imgs)
+    labels = shard_batch(mesh, labels)
+    state, metrics = step(state, imgs, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # replicated-state update must equal single-device update numerically
+    model2, state2, step2, _, _ = _setup(use_ema=False)
+    state2, metrics2 = step2(state2, jnp.zeros((8, 64, 64, 3)),
+                             jax.device_get(labels))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics2["loss"]), rtol=1e-4)

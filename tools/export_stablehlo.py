@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Export the detector as a serialized StableHLO artifact (+ AOT compile).
+
+This is the TPU-native replacement for the reference's deployment export
+family (ref tools/export_onnx.py, export_torchscript.py, trt.py): one
+compiler-native artifact serves the roles of ONNX (interchange),
+TorchScript (freezing), and the TRT engine (ahead-of-time compilation).
+
+Produces:
+  <out>.stablehlo  — portable serialized jax.export artifact (decode
+                     in-graph or raw outputs, like the reference's
+                     decode_in_inference switch, ref yolo_head.py:29)
+  optionally runs an AOT compile check for the current backend.
+
+Load and run anywhere with:
+  from jax import export as jexport
+  fn = jexport.deserialize(open(path, 'rb').read()).call
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser("export_stablehlo")
+    ap.add_argument("-n", "--name", default="yolox-m-p6")
+    ap.add_argument("-f", "--exp_file", default=None)
+    ap.add_argument("-c", "--ckpt", default=None)
+    ap.add_argument("-o", "--output", default="yolox_m_p6.stablehlo")
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--tsize", type=int, default=640)
+    ap.add_argument("--decode", action="store_true",
+                    help="include decode+NMS in the exported graph")
+    ap.add_argument("--conf", type=float, default=0.001)
+    ap.add_argument("--nms", type=float, default=0.55)
+    ap.add_argument("--aot-check", action="store_true",
+                    help="AOT-compile the artifact for the local backend")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from cocodet_tpu.exp import get_exp
+    from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
+
+    exp = get_exp(args.exp_file, args.name)
+    model = exp.get_model(fused=True)
+
+    x_spec = jax.ShapeDtypeStruct(
+        (args.batch_size, args.tsize, args.tsize, 3), jnp.float32)
+
+    if args.ckpt:
+        from cocodet_tpu.utils.checkpoint import load_checkpoint
+
+        variables = load_checkpoint(args.ckpt).get("model")
+    else:
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros(x_spec.shape, x_spec.dtype))
+        print("WARNING: exporting random weights")
+
+    cfg = PostprocessConfig(conf_threshold=args.conf,
+                            nms_threshold=args.nms)
+
+    def forward(images):
+        outputs = model.apply(variables, images)
+        if args.decode:
+            return postprocess(outputs, exp.strides, cfg)
+        # raw per-level maps (decode_in_inference=False analogue)
+        return [tuple(o[k] for k in ("reg", "obj", "cls")) for o in outputs]
+
+    exported = jexport.export(jax.jit(forward))(x_spec)
+    blob = exported.serialize()
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.output} ({len(blob) / 1e6:.1f} MB), "
+          f"input {x_spec.shape}, platforms {exported.platforms}")
+
+    if args.aot_check:
+        lowered = jax.jit(forward).lower(x_spec)
+        compiled = lowered.compile()
+        print("AOT compile ok:",
+              compiled.cost_analysis() and "cost analysis available")
+
+
+if __name__ == "__main__":
+    main()
