@@ -13,9 +13,14 @@ the 2x target is met. This stands until a measured torch number replaces it.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def main():

@@ -145,9 +145,10 @@ def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
         for c in range(imp.shape[0]):
             flat_scores.append(imp[c])
             index.append((scope, c))
-    order = np.argsort(np.asarray(flat_scores), kind="stable")
+    flat_scores = np.asarray(flat_scores)
+    order = np.argsort(flat_scores, kind="stable")
     to_prune = [index[i] for i in order[:prune_channels]
-                if np.isfinite(flat_scores[order[i]])]
+                if np.isfinite(flat_scores[i])]
 
     by_scope: Dict[Tuple, list] = {}
     for scope, c in to_prune:
@@ -236,7 +237,7 @@ class Pruner(Trainer):
         self.size_rng = _random.Random((exp.seed or 0) + 1234)
         from ..data.samplers import DevicePrefetcher
         self.prefetcher = DevicePrefetcher(self.train_loader)
-        self.data_iter = iter(self.prefetcher)
+        self.data_iter = self.prefetcher  # has .next()
         logger.info("Pruner init done; %d iters/epoch", self.iters_per_epoch)
 
     def _variables(self):

@@ -113,7 +113,7 @@ class Trainer:
             batch_size=batch_size, is_distributed=jax.process_count() > 1)
         self.size_rng = random.Random((exp.seed or 0) + 1234)
         self.prefetcher = DevicePrefetcher(self.train_loader)
-        self.data_iter = iter(self.prefetcher)
+        self.data_iter = self.prefetcher  # has .next()
         self.tblogger = None
         if self.rank == 0:
             try:  # TensorBoard scalars (ref trainer.py:207-209,335-337)

@@ -56,17 +56,20 @@ def synflow_update_masks(variables: Dict, scores: Dict,
     sflat = flatten_dict(scores)
 
     mask_keys = [k for k in masks if k[-1] == "conv_mask"]
-    all_scores = np.concatenate([
-        np.asarray(sflat[k[:-1] + ("kernel",)]).ravel() for k in mask_keys])
+    shards = [np.asarray(sflat[k[:-1] + ("kernel",)]) for k in mask_keys]
+    all_scores = np.concatenate([s.ravel() for s in shards])
     n_keep = max(int(round(all_scores.size * keep_fraction)), 1)
-    if n_keep >= all_scores.size:
-        thresh = -np.inf
-    else:
-        thresh = np.partition(all_scores, -n_keep)[-n_keep]
+    # exact top-n selection: tie- and zero-score-safe (a plain threshold
+    # keeps everything when many scores tie at the cut)
+    keep_flat = np.zeros(all_scores.size, bool)
+    keep_flat[np.argpartition(-all_scores, n_keep - 1)[:n_keep]] = True
 
-    for k in mask_keys:
-        s = np.asarray(sflat[k[:-1] + ("kernel",)])
-        masks[k] = jnp.asarray((s >= thresh).astype(np.float32))
+    offset = 0
+    for k, s in zip(mask_keys, shards):
+        n = s.size
+        masks[k] = jnp.asarray(
+            keep_flat[offset:offset + n].reshape(s.shape).astype(np.float32))
+        offset += n
     out = dict(variables)
     out["masks"] = unflatten_dict(masks)
     return out

@@ -118,9 +118,23 @@ def mirror(image: np.ndarray, boxes: np.ndarray, prob: float = 0.5,
 
 
 def letterbox(img: np.ndarray, input_size: Tuple[int, int],
-              pad_value: int = 114) -> Tuple[np.ndarray, float]:
+              pad_value: int = 114,
+              use_native: bool = True) -> Tuple[np.ndarray, float]:
     """Ratio-preserving resize + pad top-left, HWC float32
-    (ref preproc, data_augment.py:144-160 — minus the CHW transpose)."""
+    (ref preproc, data_augment.py:144-160 — minus the CHW transpose).
+
+    Uses the native C++ kernel (layers/fast_preproc) when built — one fused
+    pass over the output instead of resize + pad + dtype-convert copies.
+    """
+    if use_native and img.ndim == 3 and img.dtype == np.uint8:
+        try:
+            from ..layers import fast_preproc
+
+            if fast_preproc.available():
+                return fast_preproc.letterbox(img, input_size,
+                                              float(pad_value))
+        except Exception:
+            pass
     padded = np.full((input_size[0], input_size[1], 3), pad_value, np.uint8)
     r = min(input_size[0] / img.shape[0], input_size[1] / img.shape[1])
     nw, nh = int(img.shape[1] * r), int(img.shape[0] * r)

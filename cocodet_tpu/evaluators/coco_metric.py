@@ -285,3 +285,21 @@ class COCOMeanAP:
             for k, v in stats.items():
                 print(f"{k:6s} = {v:.4f}")
         return stats
+
+    def per_class_ap(self, iou: Optional[float] = 0.5, area: str = "all",
+                     max_det: int = 100) -> Dict[int, float]:
+        """Per-category AP table (ref COCOEvaluator per_class_AP option)."""
+        acc = self.accumulate()
+        p = acc["precision"]
+        cats = sorted(self.cats)
+        ai = list(AREA_RANGES).index(area)
+        mi = self.max_dets.index(max_det)
+        out = {}
+        for ci, cat in enumerate(cats):
+            s = p[:, :, ci, ai, mi]
+            if iou is not None:
+                ti = int(np.argmin(np.abs(self.iou_thrs - iou)))
+                s = s[ti:ti + 1]
+            s = s[s > -1]
+            out[cat] = float(np.mean(s)) if s.size else float("nan")
+        return out

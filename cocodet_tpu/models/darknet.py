@@ -104,11 +104,13 @@ class CSPBackbone(nn.Module):
     fused: bool = False
     use_mask: bool = False
     weight_mask: bool = False
+    remat: bool = False  # rematerialize CSP stages (memory for FLOPs)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        csp_cls = nn.remat(CSPLayer, static_argnums=(2,)) if self.remat else CSPLayer
         stages = BACKBONE_STAGES[self.variant]
         custom = self.variant != "standard"
         down_k = _DOWN_KERNEL[self.variant]
@@ -131,7 +133,7 @@ class CSPBackbone(nn.Module):
                 x = SPPBottleneck(feats, act=self.act,
                                   weight_mask=self.weight_mask,
                                   name=f"{spec.name}_spp", **kw)(x, train)
-            x = CSPLayer(
+            x = csp_cls(
                 feats,
                 n=base_depth * spec.n_mult,
                 shortcut=spec.shortcut,

@@ -74,11 +74,14 @@ class YOLOPAFPN(nn.Module):
     fused: bool = False
     use_mask: bool = False
     weight_mask: bool = False
+    remat: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_taps: bool = False):
+        csp_cls = (nn.remat(CSPLayer, static_argnums=(2,)) if self.remat
+                   else CSPLayer)
         cfg = PAFPN_VARIANTS[self.variant]
         in_feats: Tuple[str, ...] = tuple(cfg["in_features"])
         widths = [int(c * self.width) for c in cfg["in_channels"]]
@@ -106,6 +109,7 @@ class YOLOPAFPN(nn.Module):
             fused=self.fused,
             use_mask=self.use_mask,
             weight_mask=self.weight_mask,
+            remat=self.remat,
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="backbone",
@@ -120,7 +124,7 @@ class YOLOPAFPN(nn.Module):
             lat = ConvBnAct(widths[k - 1], 1, 1, name=f"lateral{k}", **kw)(carry, train)
             lats[k] = lat
             merged = jnp.concatenate([upsample2x(lat), xs[k - 1]], axis=-1)
-            carry = CSPLayer(widths[k - 1], name=f"td_csp{k}", **csp_kw)(merged, train)
+            carry = csp_cls(widths[k - 1], name=f"td_csp{k}", **csp_kw)(merged, train)
             td[k - 1] = carry
 
         # bottom-up
@@ -129,7 +133,7 @@ class YOLOPAFPN(nn.Module):
             p = ConvBnAct(widths[k - 1], cfg["down_kernel"], 2,
                           name=f"bu_conv{k}", **kw)(outs[-1], train)
             merged = jnp.concatenate([p, lats[k]], axis=-1)
-            outs.append(CSPLayer(widths[k], name=f"bu_csp{k}", **csp_kw)(merged, train))
+            outs.append(csp_cls(widths[k], name=f"bu_csp{k}", **csp_kw)(merged, train))
 
         outs = tuple(outs)
         if return_taps:

@@ -65,6 +65,7 @@ class YOLOX(nn.Module):
     fused: bool = False
     use_mask: bool = False
     weight_mask: bool = False
+    remat: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -79,6 +80,7 @@ class YOLOX(nn.Module):
             fused=self.fused,
             use_mask=self.use_mask,
             weight_mask=self.weight_mask,
+            remat=self.remat,
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="backbone",

@@ -22,8 +22,11 @@ class EMAState(NamedTuple):
 
 
 def ema_init(variables: Any) -> EMAState:
+    # explicit copy: astype(f32) on an f32 array is a no-op that would alias
+    # the shadow with the live params and break buffer donation in the
+    # jitted train step
     shadow = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float32), variables)
+        lambda x: jnp.array(x, dtype=jnp.float32, copy=True), variables)
     return EMAState(shadow=shadow, updates=jnp.zeros((), jnp.int32))
 
 

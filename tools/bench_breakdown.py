@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Throughput breakdown: model-only vs +decode vs +NMS, batch sweep.
+
+Drives the same fused YOLOX-M-P6 as bench.py and isolates the postprocess
+cost, sweeping batch size and pre-NMS K. Run on the real TPU.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+
+def timeit(fn, arg, iters=20):
+    import jax
+
+    jax.block_until_ready(fn(arg))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(arg)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--batches", type=int, nargs="+", default=[8])
+    ap.add_argument("--topk", type=int, nargs="+", default=[2048])
+    ap.add_argument("--mode", choices=["model", "decode", "full", "all"],
+                    default="all")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cocodet_tpu.models import build_model
+    from cocodet_tpu.ops.decode import attach_strides, concat_levels, decode_corner_scores
+    from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
+
+    model = build_model("yolox-p6", depth=0.67, width=0.75,
+                        dtype=jnp.bfloat16, fused=True)
+    rng = jax.random.PRNGKey(0)
+    strides = (8, 16, 32, 64)
+
+    for b in args.batches:
+        x = jnp.asarray(np.random.rand(b, args.size, args.size, 3) * 255,
+                        jnp.float32)
+        variables = jax.jit(model.init)(rng, x[:1])
+
+        fwd = jax.jit(lambda im: model.apply(variables, im))
+
+        def fwd_decode(im):
+            outs = model.apply(variables, im)
+            preds, grids, sv = concat_levels(attach_strides(outs, strides))
+            return decode_corner_scores(preds, grids, sv)
+
+        row = [f"b{b}:"]
+        if args.mode in ("model", "all"):
+            t_fwd = timeit(fwd, x)
+            row.append(f"model {1e3 * t_fwd:7.2f} ms ({b / t_fwd:7.1f} img/s)")
+        if args.mode in ("decode", "all"):
+            t_dec = timeit(jax.jit(fwd_decode), x)
+            row.append(f"+decode {1e3 * t_dec:7.2f} ms")
+        for k in (args.topk if args.mode in ("full", "all") else []):
+            cfg = PostprocessConfig(conf_threshold=0.001, nms_threshold=0.55,
+                                    pre_nms_topk=k, max_det=300)
+
+            def full(im, _cfg=cfg):
+                return postprocess(model.apply(variables, im), strides, _cfg)
+
+            t_full = timeit(jax.jit(full), x)
+            row.append(f"+nms(k={k}) {1e3 * t_full:7.2f} ms "
+                       f"({b / t_full:7.1f} img/s)")
+        print(" | ".join(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
