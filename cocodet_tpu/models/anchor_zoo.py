@@ -235,8 +235,8 @@ class SPPCSP(nn.Module):
         return VConv(self.features, 1, name="cv7", **kw)(y, train)
 
 
-_MODULES = {"Conv", "C3", "SPPF", "BottleneckCSP", "BottleneckCSP2",
-            "SPPCSP", "Concat", "nn.Upsample", "Detect"}
+_MODULES = {"Conv", "C3", "SPPF", "Bottleneck", "BottleneckCSP",
+            "BottleneckCSP2", "SPPCSP", "Concat", "nn.Upsample", "Detect"}
 
 
 class AnchorDetector(nn.Module):
@@ -280,6 +280,9 @@ class AnchorDetector(nn.Module):
                 c2 = make_divisible(args[0] * gw)
                 k = args[1] if len(args) > 1 else 5
                 x = SPPF(c2, k=k, name=name, **kw)(inp, train)
+            elif module == "Bottleneck":
+                c2 = make_divisible(args[0] * gw)
+                x = VBottleneck(c2, name=name, **kw)(inp, train)
             elif module == "BottleneckCSP":
                 c2 = make_divisible(args[0] * gw)
                 x = BottleneckCSP(c2, n=n, name=name, **kw)(inp, train)
@@ -437,6 +440,158 @@ YOLOV4_P6_ANCHORS = (
     (324, 451, 545, 357, 616, 618, 1024, 1024),
 )
 
+
+
+# ref submit/yolov4_infer/models/yolov4-p5.yaml
+YOLOV4_P5_SPEC = (
+    (-1, 1, "Conv", (32, 3, 1)),
+    (-1, 1, "Conv", (64, 3, 2)),
+    (-1, 1, "BottleneckCSP", (64,)),
+    (-1, 1, "Conv", (128, 3, 2)),
+    (-1, 3, "BottleneckCSP", (128,)),
+    (-1, 1, "Conv", (256, 3, 2)),
+    (-1, 15, "BottleneckCSP", (256,)),
+    (-1, 1, "Conv", (512, 3, 2)),
+    (-1, 15, "BottleneckCSP", (512,)),
+    (-1, 1, "Conv", (1024, 3, 2)),
+    (-1, 7, "BottleneckCSP", (1024,)),
+    (-1, 1, "SPPCSP", (512,)),                   # 11
+    (-1, 1, "Conv", (256, 1, 1)),
+    (-1, 1, "nn.Upsample", ()),
+    (8, 1, "Conv", (256, 1, 1)),
+    ((-1, 13), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (256,)),           # 16
+    (-1, 1, "Conv", (128, 1, 1)),
+    (-1, 1, "nn.Upsample", ()),
+    (6, 1, "Conv", (128, 1, 1)),
+    ((-1, 18), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (128,)),           # 21
+    (-1, 1, "Conv", (256, 3, 1)),                # 22 -> P3
+    (21, 1, "Conv", (256, 3, 2)),                # yaml -2
+    ((-1, 16), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (256,)),           # 25
+    (-1, 1, "Conv", (512, 3, 1)),                # 26 -> P4
+    (25, 1, "Conv", (512, 3, 2)),                # yaml -2
+    ((-1, 11), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (512,)),           # 29
+    (-1, 1, "Conv", (1024, 3, 1)),               # 30 -> P5
+    ((22, 26, 30), 1, "Detect", ()),
+)
+
+YOLOV4_P5_ANCHORS = (
+    (13, 17, 31, 25, 24, 51, 61, 45),
+    (48, 102, 119, 96, 97, 189, 217, 184),
+    (171, 384, 324, 451, 616, 618, 800, 800),
+)
+
+# ref submit/yolov4_infer/models/yolov4-csp.yaml (3 anchors/level, mish)
+YOLOV4_CSP_SPEC = (
+    (-1, 1, "Conv", (32, 3, 1)),
+    (-1, 1, "Conv", (64, 3, 2)),
+    (-1, 1, "Bottleneck", (64,)),
+    (-1, 1, "Conv", (128, 3, 2)),
+    (-1, 2, "BottleneckCSP", (128,)),
+    (-1, 1, "Conv", (256, 3, 2)),
+    (-1, 8, "BottleneckCSP", (256,)),
+    (-1, 1, "Conv", (512, 3, 2)),
+    (-1, 8, "BottleneckCSP", (512,)),
+    (-1, 1, "Conv", (1024, 3, 2)),
+    (-1, 4, "BottleneckCSP", (1024,)),
+    (-1, 1, "SPPCSP", (512,)),                   # 11
+    (-1, 1, "Conv", (256, 1, 1)),
+    (-1, 1, "nn.Upsample", ()),
+    (8, 1, "Conv", (256, 1, 1)),
+    ((-1, 13), 1, "Concat", ()),
+    (-1, 2, "BottleneckCSP2", (256,)),           # 16
+    (-1, 1, "Conv", (128, 1, 1)),
+    (-1, 1, "nn.Upsample", ()),
+    (6, 1, "Conv", (128, 1, 1)),
+    ((-1, 18), 1, "Concat", ()),
+    (-1, 2, "BottleneckCSP2", (128,)),           # 21
+    (-1, 1, "Conv", (256, 3, 1)),                # 22 -> P3
+    (21, 1, "Conv", (256, 3, 2)),
+    ((-1, 16), 1, "Concat", ()),
+    (-1, 2, "BottleneckCSP2", (256,)),           # 25
+    (-1, 1, "Conv", (512, 3, 1)),                # 26 -> P4
+    (25, 1, "Conv", (512, 3, 2)),
+    ((-1, 11), 1, "Concat", ()),
+    (-1, 2, "BottleneckCSP2", (512,)),           # 29
+    (-1, 1, "Conv", (1024, 3, 1)),               # 30 -> P5
+    ((22, 26, 30), 1, "Detect", ()),
+)
+
+YOLOV4_CSP_ANCHORS = (
+    (12, 16, 19, 36, 40, 28),
+    (36, 75, 76, 55, 72, 146),
+    (142, 110, 192, 243, 459, 401),
+)
+
+# ref submit/yolov4_infer/models/yolov4-p7.yaml (5 levels, width 1.25)
+YOLOV4_P7_SPEC = (
+    (-1, 1, "Conv", (32, 3, 1)),
+    (-1, 1, "Conv", (64, 3, 2)),
+    (-1, 1, "BottleneckCSP", (64,)),
+    (-1, 1, "Conv", (128, 3, 2)),
+    (-1, 3, "BottleneckCSP", (128,)),
+    (-1, 1, "Conv", (256, 3, 2)),
+    (-1, 15, "BottleneckCSP", (256,)),
+    (-1, 1, "Conv", (512, 3, 2)),
+    (-1, 15, "BottleneckCSP", (512,)),
+    (-1, 1, "Conv", (1024, 3, 2)),
+    (-1, 7, "BottleneckCSP", (1024,)),
+    (-1, 1, "Conv", (1024, 3, 2)),
+    (-1, 7, "BottleneckCSP", (1024,)),
+    (-1, 1, "Conv", (1024, 3, 2)),
+    (-1, 7, "BottleneckCSP", (1024,)),           # 14
+    (-1, 1, "SPPCSP", (512,)),                   # 15
+    (-1, 1, "Conv", (512, 1, 1)),
+    (-1, 1, "nn.Upsample", ()),
+    (12, 1, "Conv", (512, 1, 1)),                # yaml -6
+    ((-1, 17), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (512,)),           # 20
+    (-1, 1, "Conv", (512, 1, 1)),
+    (-1, 1, "nn.Upsample", ()),
+    (10, 1, "Conv", (512, 1, 1)),                # yaml -13
+    ((-1, 22), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (512,)),           # 25
+    (-1, 1, "Conv", (256, 1, 1)),
+    (-1, 1, "nn.Upsample", ()),
+    (8, 1, "Conv", (256, 1, 1)),                 # yaml -20
+    ((-1, 27), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (256,)),           # 30
+    (-1, 1, "Conv", (128, 1, 1)),
+    (-1, 1, "nn.Upsample", ()),
+    (6, 1, "Conv", (128, 1, 1)),                 # yaml -27
+    ((-1, 32), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (128,)),           # 35
+    (-1, 1, "Conv", (256, 3, 1)),                # 36 -> P3
+    (35, 1, "Conv", (256, 3, 2)),
+    ((-1, 30), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (256,)),           # 39
+    (-1, 1, "Conv", (512, 3, 1)),                # 40 -> P4
+    (39, 1, "Conv", (512, 3, 2)),
+    ((-1, 25), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (512,)),           # 43
+    (-1, 1, "Conv", (1024, 3, 1)),               # 44 -> P5
+    (43, 1, "Conv", (512, 3, 2)),
+    ((-1, 20), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (512,)),           # 47
+    (-1, 1, "Conv", (1024, 3, 1)),               # 48 -> P6
+    (47, 1, "Conv", (512, 3, 2)),
+    ((-1, 15), 1, "Concat", ()),
+    (-1, 3, "BottleneckCSP2", (512,)),           # 51
+    (-1, 1, "Conv", (1024, 3, 1)),               # 52 -> P7
+    ((36, 40, 44, 48, 52), 1, "Detect", ()),
+)
+
+YOLOV4_P7_ANCHORS = (
+    (13, 17, 22, 25, 27, 66, 55, 41),
+    (57, 88, 112, 69, 69, 177, 136, 138),
+    (136, 138, 287, 114, 134, 275, 268, 248),
+    (268, 248, 232, 504, 445, 416, 640, 640),
+    (812, 393, 477, 808, 1070, 908, 1408, 1408),
+)
+
 ANCHOR_MODELS = {
     "yolov5m6": dict(spec=YOLOV5_6_SPEC, anchors=YOLOV5M6_ANCHORS,
                      strides=(8, 16, 32, 64), depth_multiple=0.67,
@@ -444,6 +599,15 @@ ANCHOR_MODELS = {
     "yolov4-p6": dict(spec=YOLOV4_P6_SPEC, anchors=YOLOV4_P6_ANCHORS,
                       strides=(8, 16, 32, 64), depth_multiple=1.0,
                       width_multiple=1.0, act="mish", num_anchors=4),
+    "yolov4-p5": dict(spec=YOLOV4_P5_SPEC, anchors=YOLOV4_P5_ANCHORS,
+                      strides=(8, 16, 32), depth_multiple=1.0,
+                      width_multiple=1.0, act="mish", num_anchors=4),
+    "yolov4-csp": dict(spec=YOLOV4_CSP_SPEC, anchors=YOLOV4_CSP_ANCHORS,
+                       strides=(8, 16, 32), depth_multiple=1.0,
+                       width_multiple=1.0, act="mish", num_anchors=3),
+    "yolov4-p7": dict(spec=YOLOV4_P7_SPEC, anchors=YOLOV4_P7_ANCHORS,
+                      strides=(8, 16, 32, 64, 128), depth_multiple=1.0,
+                      width_multiple=1.25, act="mish", num_anchors=4),
 }
 
 

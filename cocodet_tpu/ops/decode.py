@@ -79,7 +79,10 @@ def decode_corner_scores(preds: jnp.ndarray, grids: jnp.ndarray,
     f32 = preds.astype(jnp.float32)
     s = strides[None, :, None]
     xy = (f32[..., :2] + grids[None]) * s
-    half_wh = jnp.exp(f32[..., 2:4]) * (s * 0.5)
+    # clamp the raw wh logits: an untrained/half-trained model can emit
+    # values whose exp overflows to inf, which would poison the NMS
+    # class-offset span and IoU math downstream (real preds are < ~7)
+    half_wh = jnp.exp(jnp.clip(f32[..., 2:4], -20.0, 20.0)) * (s * 0.5)
     boxes = jnp.concatenate([xy - half_wh, xy + half_wh], axis=-1)
     obj = jnp.clip(jnp.float32(1.0) / (1.0 + jnp.exp(-f32[..., 4:5])), 0.0, 1.0)
     cls = jnp.clip(jnp.float32(1.0) / (1.0 + jnp.exp(-f32[..., 5:])), 0.0, 1.0) * obj

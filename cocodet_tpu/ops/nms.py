@@ -116,8 +116,12 @@ def nms_single(
     if class_agnostic:
         nms_boxes = boxes
     else:
-        # per-class coordinate offset => cross-class IoU is exactly 0
-        span = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
+        # per-class coordinate offset => cross-class IoU is exactly 0.
+        # Guard the span against non-finite coordinates so one bad box
+        # cannot poison every offset.
+        finite = jnp.all(jnp.isfinite(boxes), axis=-1)
+        span = jnp.max(jnp.where((valid & finite)[:, None],
+                                 jnp.abs(boxes), 0.0)) + 1.0
         offset = classes.astype(boxes.dtype)[:, None] * span
         nms_boxes = boxes + offset
 

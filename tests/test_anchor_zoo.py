@@ -71,3 +71,24 @@ def test_anchor_decode_feeds_nms():
                       take(klass, order), take(obj[..., 0], order),
                       jnp.ones_like(score, bool), max_det=10)
     assert res.boxes.shape == (2, 10, 4)
+
+
+@pytest.mark.parametrize("name,levels", [("yolov4-p5", 3), ("yolov4-csp", 3)])
+def test_anchor_model_v4_variants(name, levels):
+    model, anchors, strides = build_anchor_model(name, fused=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert len(outs) == levels
+    na = ANCHOR_MODELS[name]["num_anchors"]
+    for o, s in zip(outs, strides):
+        assert o.shape == (1, 64 // s, 64 // s, na * 85)
+
+
+@pytest.mark.slow
+def test_anchor_model_p7():
+    model, anchors, strides = build_anchor_model("yolov4-p7", fused=True)
+    x = jnp.zeros((1, 256, 256, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert len(outs) == 5
