@@ -30,7 +30,7 @@ def main():
     from cocodet_tpu.models import build_model
     from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
 
-    batch, size = 8, 640
+    batch, size = 16, 640
     model = build_model("yolox-p6", depth=0.67, width=0.75,
                         dtype=jnp.bfloat16, fused=True)
     rng = jax.random.PRNGKey(0)
@@ -38,7 +38,8 @@ def main():
     variables = jax.jit(model.init)(rng, x)
 
     cfg = PostprocessConfig(conf_threshold=0.001, nms_threshold=0.55,
-                            pre_nms_topk=2000, max_det=300)
+                            pre_nms_topk=2048, max_det=300,
+                            use_pallas=True)
 
     @jax.jit
     def forward(images):
@@ -62,7 +63,7 @@ def main():
 
     baseline_2x = 2 * 520.0
     print(json.dumps({
-        "metric": "yolox_m_p6_fused_infer_640_bs8",
+        "metric": "yolox_m_p6_fused_infer_640_bs16",
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / baseline_2x, 4),

@@ -140,7 +140,10 @@ class Trainer:
     def before_epoch(self):
         exp = self.exp
         logger.info("---> start train epoch %d", self.epoch + 1)
-        if (self.epoch + 1 == self.max_epoch - exp.no_aug_epochs
+        # resume inside the tail also triggers the switch
+        # (ref trainer.py:219-228 `or self.no_aug` with no_aug computed from
+        # start_epoch)
+        if (self.epoch + 1 >= self.max_epoch - exp.no_aug_epochs
                 or getattr(self.args, "no_aug", False)):
             logger.info("--->No mosaic aug now! Add additional L1 loss now!")
             self.train_loader.close_mosaic()

@@ -68,19 +68,42 @@ class COCOEvaluator:
         return step
 
     def _batches(self):
+        """Threaded batch assembly: decode/letterbox of batch k+1 overlaps
+        the device compute of batch k (the reference used torch DataLoader
+        worker processes for the same purpose)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
         ds = self.dataset
         n = len(ds)
-        for start in range(0, n, self.batch_size):
-            idxs = list(range(start, min(start + self.batch_size, n)))
+        # multi-host: each process evaluates a contiguous shard
+        # (detections are re-gathered over DCN in evaluate())
+        world = jax.process_count()
+        if world > 1:
+            per = (n + world - 1) // world
+            lo = jax.process_index() * per
+            hi = min(lo + per, n)
+        else:
+            lo, hi = 0, n
+
+        def build(start):
+            idxs = list(range(start, min(start + self.batch_size, hi)))
             items = [ds[i] for i in idxs]
             imgs = np.stack([np.asarray(it[0], np.float32) for it in items])
             pad = self.batch_size - len(items)
             if pad:
                 imgs = np.concatenate(
                     [imgs, np.zeros((pad,) + imgs.shape[1:], np.float32)])
-            infos = [it[2] for it in items]
-            ids = [it[3] for it in items]
-            yield imgs, infos, ids
+            return imgs, [it[2] for it in items], [it[3] for it in items]
+
+        starts = list(range(lo, hi, self.batch_size))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(build, s) for s in starts[:2]]
+            for k, start in enumerate(starts):
+                if k + 2 < len(starts):
+                    futures.append(pool.submit(build, starts[k + 2]))
+                yield futures[k].result()
 
     def convert_to_coco_format(self, result, infos, ids) -> List[dict]:
         """Scale detections back to original image space and emit COCO
@@ -135,6 +158,10 @@ class COCOEvaluator:
             t_host += t3 - t2
             n_batches += 1
 
+        if gather_fn is None and jax.process_count() > 1:
+            from ..parallel import process_allgather_detections
+
+            gather_fn = process_allgather_detections
         if gather_fn is not None:  # multi-host: concat per-process shards
             data_list = gather_fn(data_list)
 

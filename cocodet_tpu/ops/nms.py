@@ -111,6 +111,7 @@ def nms_single(
     max_det: int = 300,
     class_agnostic: bool = False,
     soft: bool = False,
+    use_pallas: bool = False,
 ) -> NMSResult:
     """NMS for one image. Inputs are (K, …) score-sorted descending."""
     if class_agnostic:
@@ -134,7 +135,8 @@ def nms_single(
         boxes, scores, classes, obj, keep = (
             boxes[order], scores[order], classes[order], obj[order], keep[order])
     else:
-        keep = _greedy_keep(nms_boxes, valid, iou_threshold)
+        keep = _greedy_keep(nms_boxes, valid, iou_threshold,
+                            use_pallas=use_pallas)
 
     # compact kept detections to the front, cap at max_det
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -166,6 +168,7 @@ def batched_nms(
     max_det: int = 300,
     class_agnostic: bool = False,
     soft: bool = False,
+    use_pallas: bool = False,
 ) -> NMSResult:
     """vmap of nms_single over the batch dimension."""
     fn = partial(
@@ -174,5 +177,6 @@ def batched_nms(
         max_det=max_det,
         class_agnostic=class_agnostic,
         soft=soft,
+        use_pallas=use_pallas,
     )
     return jax.vmap(fn)(boxes, scores, classes, obj, valid)

@@ -8,13 +8,15 @@ only the f32 0/1 overlap matrix (the operand of the fixpoint matvec), with
 the IoU math, the threshold compare, the triangular mask, and the validity
 mask fused in one pass.
 
-Tiling: (TILE, TILE) output tiles over a (K/TILE, K/TILE) grid; each program
-reads two (TILE, 4) box slabs — tiny — so VMEM usage is dominated by the
-output tile. TILE=128 aligns rows to sublanes and cols to lanes.
+Mosaic note: in-kernel transposes of narrow/bool tiles fail to legalize on
+v5e (`tpu.transpose` of vector<128x128xi1>), so the column operands are fed
+PRE-TRANSPOSED from the host: boxes as (4, K) and validity as (1, K) /
+(K, 1) — the kernel does zero transposes.
 
-Grid note: for r-tile > c-tile every entry is below the diagonal; those
-tiles still run (pallas grids are dense) but write zeros via the mask —
-acceptable at K<=2048. A triangular-only grid is a later optimization.
+Tiling: (TILE, TILE) output tiles over a (K/TILE, K/TILE) grid; each program
+reads a (TILE, 4) row slab and a (4, TILE) column slab — tiny — so VMEM is
+dominated by the output tile. TILE=128 aligns rows to sublanes and cols to
+lanes.
 """
 
 from __future__ import annotations
@@ -29,21 +31,21 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 
 
-def _overlap_kernel(thr_ref, rows_ref, cols_ref, rvalid_ref, cvalid_ref,
+def _overlap_kernel(thr_ref, rows_ref, cols_t_ref, rvalid_ref, cvalid_t_ref,
                     out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    rows = rows_ref[:]          # (TILE, 4) xyxy
-    cols = cols_ref[:]          # (TILE, 4)
+    rows = rows_ref[:]            # (TILE, 4) xyxy
+    cols_t = cols_t_ref[:]        # (4, TILE) xyxy transposed
 
     rx1 = rows[:, 0:1]
     ry1 = rows[:, 1:2]
     rx2 = rows[:, 2:3]
     ry2 = rows[:, 3:4]
-    cx1 = cols[:, 0:1].T
-    cy1 = cols[:, 1:2].T
-    cx2 = cols[:, 2:3].T
-    cy2 = cols[:, 3:4].T
+    cx1 = cols_t[0:1, :]
+    cy1 = cols_t[1:2, :]
+    cx2 = cols_t[2:3, :]
+    cy2 = cols_t[3:4, :]
 
     iw = jnp.maximum(jnp.minimum(rx2, cx2) - jnp.maximum(rx1, cx1), 0.0)
     ih = jnp.maximum(jnp.minimum(ry2, cy2) - jnp.maximum(ry1, cy1), 0.0)
@@ -58,11 +60,11 @@ def _overlap_kernel(thr_ref, rows_ref, cols_ref, rvalid_ref, cvalid_ref,
                + i * TILE)
     col_ids = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
                + j * TILE)
-    tri = row_ids < col_ids
+    tri = (row_ids < col_ids).astype(jnp.float32)
 
-    valid = rvalid_ref[:] & cvalid_ref[:].T  # (TILE,1)&(1,TILE)
-    mask = (iou > thr_ref[0]) & tri & valid
-    out_ref[:] = mask.astype(jnp.float32)
+    valid = rvalid_ref[:] * cvalid_t_ref[:]     # (TILE,1)*(1,TILE)
+    mask = (iou > thr_ref[0]).astype(jnp.float32) * tri * valid
+    out_ref[:] = mask
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -78,7 +80,10 @@ def overlap_matrix(boxes: jnp.ndarray, valid: jnp.ndarray,
     assert k % TILE == 0, k
     thr = jnp.asarray([iou_threshold], jnp.float32)
     grid = (k // TILE, k // TILE)
-    vcol = valid.reshape(k, 1)
+    boxes = boxes.astype(jnp.float32)
+    boxes_t = boxes.T                      # (4, K) — transposed on host/XLA
+    vcol = valid.astype(jnp.float32).reshape(k, 1)
+    vrow = valid.astype(jnp.float32).reshape(1, k)
 
     return pl.pallas_call(
         _overlap_kernel,
@@ -87,16 +92,15 @@ def overlap_matrix(boxes: jnp.ndarray, valid: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE, 4), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 4), lambda i, j: (j, 0),
+            pl.BlockSpec((4, TILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((1, TILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, k), jnp.float32),
         interpret=interpret,
-    )(thr, boxes.astype(jnp.float32), boxes.astype(jnp.float32),
-      vcol, vcol)
+    )(thr, boxes, boxes_t, vcol, vrow)

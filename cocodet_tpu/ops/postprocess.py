@@ -41,6 +41,7 @@ class PostprocessConfig(NamedTuple):
     class_agnostic: bool = False
     soft: bool = False
     rmmop: Optional[Tuple[float, float]] = None
+    use_pallas: bool = False   # pallas overlap-matrix kernel in the NMS
 
 
 def select_candidates(boxes, obj, cls, cfg: PostprocessConfig):
@@ -96,4 +97,5 @@ def postprocess(head_outputs: Sequence[dict], strides: Sequence[int],
         max_det=cfg.max_det,
         class_agnostic=cfg.class_agnostic,
         soft=cfg.soft,
+        use_pallas=cfg.use_pallas,
     )

@@ -112,8 +112,9 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
         multi_class=bool(pp.get("multi_class", False)),
         soft=bool(pp.get("soft", False)),
         rmmop=tuple(pp["rmmop"]) if pp.get("rmmop") else None,
-        pre_nms_topk=int(pp.get("max_num_nms", 2000)),
+        pre_nms_topk=int(pp.get("max_num_nms", 2048)),
         max_det=int(pp.get("max_num_det", 300)),
+        use_pallas=bool(pp.get("use_pallas", True)),
     )
 
     aug = cfg.get("input_aug", True)

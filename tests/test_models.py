@@ -133,3 +133,15 @@ def test_full_scale_param_count():
     vars_ = model.init(jax.random.PRNGKey(0), x)
     total = n_params(vars_["params"])
     assert 30e6 < total < 60e6, total
+
+
+def test_yolo_fpn_legacy():
+    from cocodet_tpu.models import YOLOFPN
+
+    m = YOLOFPN(depth=21)  # 21-depth keeps the test light
+    x = jnp.zeros((1, 64, 64, 3))
+    outs = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    # (out_dark3/8 x 128ch emb-out? widths: out2 ends at 128), dark4 at 256,
+    # dark5 at 512 (ref yolo_fpn.py:22-28 widths)
+    assert [o.shape for o in outs] == [
+        (1, 8, 8, 128), (1, 4, 4, 256), (1, 2, 2, 512)]

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--nms", type=float, default=0.55)
     ap.add_argument("--aot-check", action="store_true",
                     help="AOT-compile the artifact for the local backend")
+    ap.add_argument("--mlir", action="store_true",
+                    help="also emit <out>.mlir + <out>.compile_options.pb "
+                         "for the native PJRT runner (serving/pjrt_runner)")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +81,22 @@ def main():
         f.write(blob)
     print(f"wrote {args.output} ({len(blob) / 1e6:.1f} MB), "
           f"input {x_spec.shape}, platforms {exported.platforms}")
+
+    if args.mlir:
+        # plain StableHLO module + serialized CompileOptions for the C++
+        # PJRT runner (weights are baked into the module as constants)
+        lowered = jax.jit(forward).lower(x_spec)
+        mlir_path = os.path.splitext(args.output)[0] + ".mlir"
+        with open(mlir_path, "w") as f:
+            f.write(lowered.compiler_ir(dialect="stablehlo").operation.get_asm(
+                large_elements_limit=None))
+        from jaxlib.xla_client import CompileOptions
+
+        opts_path = os.path.splitext(args.output)[0] + ".compile_options.pb"
+        with open(opts_path, "wb") as f:
+            f.write(CompileOptions().SerializeAsString())
+        print(f"wrote {mlir_path} + {opts_path} "
+              f"(run: serving/pjrt_runner <plugin.so> {mlir_path} {opts_path})")
 
     if args.aot_check:
         lowered = jax.jit(forward).lower(x_spec)
