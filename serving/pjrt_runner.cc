@@ -15,6 +15,7 @@
 // runtime harness; production wiring feeds camera/decoder buffers instead.
 
 #include <dlfcn.h>
+#include <unistd.h>
 
 #include <chrono>
 #include <cstdint>
@@ -114,9 +115,53 @@ int main(int argc, char** argv) {
   Check(g_api->PJRT_Plugin_Initialize(&init_args), "Plugin_Initialize");
 
   // ---- create client ----
+  // Option set mirroring the python-side registration for the axon
+  // plugin's pool/remote-compile mode (axon.register.pjrt): topology,
+  // session_id, remote_compile, rank sentinel. Harmless extras are
+  // ignored by plugins that don't know them.
+  auto str_opt = [](const char* name, const char* value) {
+    PJRT_NamedValue v;
+    std::memset(&v, 0, sizeof(v));
+    v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    v.name = name;
+    v.name_size = std::strlen(name);
+    v.type = PJRT_NamedValue_kString;
+    v.string_value = value;
+    v.value_size = std::strlen(value);
+    return v;
+  };
+  auto int_opt = [](const char* name, int64_t value) {
+    PJRT_NamedValue v;
+    std::memset(&v, 0, sizeof(v));
+    v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    v.name = name;
+    v.name_size = std::strlen(name);
+    v.type = PJRT_NamedValue_kInt64;
+    v.int64_value = value;
+    v.value_size = 1;
+    return v;
+  };
+  const char* topology = std::getenv("PALLAS_AXON_TPU_GEN")
+                             ? "v5e:1x1x1"
+                             : "v5e:1x1x1";
+  char session_id[64];
+  std::snprintf(session_id, sizeof(session_id), "pjrt-runner-%d",
+                static_cast<int>(getpid()));
+  std::vector<PJRT_NamedValue> opts_v = {
+      int_opt("remote_compile", 1),
+      int_opt("local_only", 0),
+      int_opt("priority", 0),
+      str_opt("topology", topology),
+      int_opt("n_slices", 1),
+      str_opt("session_id", session_id),
+      int_opt("rank", static_cast<int64_t>(0xFFFFFFFFll)),
+  };
+
   PJRT_Client_Create_Args cargs;
   std::memset(&cargs, 0, sizeof(cargs));
   cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = opts_v.data();
+  cargs.num_options = opts_v.size();
   Check(g_api->PJRT_Client_Create(&cargs), "Client_Create");
   PJRT_Client* client = cargs.client;
 
