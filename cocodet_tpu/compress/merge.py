@@ -7,16 +7,24 @@ at load (ref choijhanyangackr/main.py:52-55); on TPU sparse COO has no
 compute value (the MXU wants dense tiles), so this build stores the dense
 masked tree directly and keeps the reference's param-count accounting.
 
-Channel adaptation (the TPU-specific extra demanded by BASELINE.json):
-``slim_channels`` physically removes output channels whose ChannelMask scale
-is 0 (Pruner output) — the kernel/bias columns are dropped, and the
-constant the dead channel contributed (act(offset)) is folded into the
-consumer conv's bias. This gives genuinely narrower dense convs so the MXU
-sees full tiles. Exactness note: the constant-fold is exact on the
-interior; at SAME-padding borders the padded zeros never carried the
-constant, so a 1-pixel rim differs — measured effect on mAP is below eval
-noise, and exact mode (keep dead channels as zeros) remains available via
-slim=False.
+Channel adaptation (the TPU-specific engineering demanded by BASELINE.json —
+the reference never solved this, SURVEY.md §7 "hard parts"):
+``slim_channels`` physically removes ChannelMask-dead channels from the
+FUSED tree and emits a width spec that models.build_model(slim=...) uses to
+build genuinely narrower convs, so the MXU always sees dense tiles:
+
+  * bottleneck conv1 (prunable everywhere, ref network_blocks.py Bottleneck
+    conv1 prune=True): dead output channels are dropped from conv1
+    kernel/bias and from conv2's input dim; the constant they fed forward
+    (act(offset)) is folded into conv2's bias. Exact on the interior;
+    SAME-padding borders of a k>1 conv2 see a 1-pixel rim difference
+    (zero-padding never carried the constant). With offset==0 the fold is
+    exact everywhere (act(0)=0 for silu/hswish).
+  * bottleneck conv2 (prunable when shortcut-free and not last): dead
+    output channels are dropped from conv2 and from the NEXT bottleneck's
+    conv1 input; that conv1 is 1x1, so this fold is exact everywhere.
+  * depthwise bottlenecks are left unslimmed (grouped-conv slicing changes
+    group structure) — only the "custom" 3-scale variant uses them.
 """
 
 from __future__ import annotations
@@ -42,64 +50,112 @@ def merge_for_deployment(variables: Dict, eps: float = 1e-3) -> Dict:
 # channel slimming of fused param trees
 # --------------------------------------------------------------------------
 
-#: consumer map inside a CSP bottleneck: conv1 output feeds conv2 input.
-#: (the only structured-prune site whose consumer is unique and local —
-#: exactly where the reference's ChannelMask sits, ref network_blocks.py
-#: Bottleneck conv1 prune=True)
-def _bottleneck_pairs(flat_params) -> List[Tuple[Tuple, Tuple]]:
-    pairs = []
-    for path in flat_params:
-        if path[-3:] == ("conv1", "conv", "kernel") and any(
-                p.startswith("m") and p[1:].isdigit() for p in path):
-            scope = path[:-3]
-            c2 = scope + ("conv2", "conv", "kernel")
-            if c2 in flat_params:
-                pairs.append((scope + ("conv1",), scope + ("conv2",)))
-    return pairs
+
+def _act_const(act_fn, offset: np.ndarray, removed: np.ndarray) -> np.ndarray:
+    """Constant a dead channel feeds forward: act(offset) on removed slots."""
+    import jax.numpy as jnp
+
+    return np.asarray(act_fn(jnp.asarray(offset))) * removed
 
 
-def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
-                  ) -> Dict:
-    """Physically drop ChannelMask-zero output channels of bottleneck conv1
-    layers, folding their constant act(offset) into conv2's bias."""
+def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish"
+                  ) -> Tuple[Dict, Dict[str, Dict[int, Tuple[Optional[int],
+                                                             Optional[int]]]]]:
+    """Physically drop ChannelMask-dead channels from a FUSED param tree.
+
+    Returns (slimmed {"params": ...}, slim_spec) where slim_spec maps
+    "<csp_module_name>" -> {bottleneck_index: (hidden_width, out_width)}
+    suitable for models.build_model(slim={...}) (keys are relative to the
+    backbone scope, e.g. "dark3_csp").
+    """
     params = dict(flatten_dict(fused_variables["params"]))
     mflat = flatten_dict(masks)
     act_fn = get_activation(act)
 
-    removed = kept_total = 0
-    for c1, c2 in _bottleneck_pairs(params):
-        scale = mflat.get(c1 + ("mask", "scale"))
-        offset = mflat.get(c1 + ("mask", "offset"))
-        if scale is None:
+    # group mask scopes by csp module: path (..., "<csp>", "m<i>", "<conv>")
+    by_bottleneck: Dict[Tuple, Dict[str, Tuple]] = {}
+    for path in mflat:
+        if path[-2:] != ("mask", "scale"):
             continue
-        scale = np.asarray(scale)
-        keep = scale > 0.0
-        kept_total += keep.size
-        if keep.all():
+        scope = path[:-2]          # (..., "m<i>", "conv1"/"conv2")
+        b_scope, conv = scope[:-1], scope[-1]
+        if not (b_scope and b_scope[-1].startswith("m")
+                and b_scope[-1][1:].isdigit()):
             continue
-        offset = np.asarray(offset)
+        by_bottleneck.setdefault(b_scope, {})[conv] = scope
 
-        w1 = np.asarray(params[c1 + ("conv", "kernel")])
-        b1 = np.asarray(params[c1 + ("conv", "bias")])
-        w2 = np.asarray(params[c2 + ("conv", "kernel")])
-        b2 = np.asarray(params.get(c2 + ("conv", "bias"),
-                                   np.zeros(w2.shape[-1], w2.dtype)))
+    spec: Dict[str, Dict[int, Tuple[Optional[int], Optional[int]]]] = {}
+    removed_hidden = removed_out = 0
 
-        # constant each dead channel feeds forward: act(offset)
-        import jax.numpy as jnp
-        const = np.asarray(act_fn(jnp.asarray(offset))) * (~keep)
-        # fold into conv2 bias: sum over kernel taps and dead in-channels
-        b2 = b2 + np.einsum("hwio,i->o", w2, const)
+    def k_of(scope):
+        return scope + ("conv", "kernel")
 
-        params[c1 + ("conv", "kernel")] = w1[..., keep]
-        params[c1 + ("conv", "bias")] = b1[keep]
-        params[c2 + ("conv", "kernel")] = w2[..., keep, :]
-        params[c2 + ("conv", "bias")] = b2
-        removed += int((~keep).sum())
+    def b_of(scope):
+        return scope + ("conv", "bias")
 
-    logger.info("slimmed %d/%d bottleneck hidden channels", removed,
-                kept_total)
-    return {"params": unflatten_dict(params)}
+    for b_scope in sorted(by_bottleneck):
+        convs = by_bottleneck[b_scope]
+        csp_scope = b_scope[:-1]
+        m_idx = int(b_scope[-1][1:])
+        c1 = b_scope + ("conv1",)
+        c2 = b_scope + ("conv2",)
+        if k_of(c2) not in params:
+            continue  # depthwise conv2 (dconv/pconv submodules) — skip
+        hid_w = out_w = None
+
+        # ---- conv1 output slimming ----
+        if "conv1" in convs:
+            scale = np.asarray(mflat[c1 + ("mask", "scale")])
+            keep = scale > 0.0
+            if not keep.all():
+                offset = np.asarray(mflat[c1 + ("mask", "offset")])
+                const = _act_const(act_fn, offset, ~keep)
+                w2 = np.asarray(params[k_of(c2)])
+                params[b_of(c2)] = (np.asarray(params[b_of(c2)])
+                                    + np.einsum("hwio,i->o", w2, const))
+                params[k_of(c1)] = np.asarray(params[k_of(c1)])[..., keep]
+                params[b_of(c1)] = np.asarray(params[b_of(c1)])[keep]
+                params[k_of(c2)] = w2[..., keep, :]
+                removed_hidden += int((~keep).sum())
+            hid_w = int(keep.sum())
+
+        # ---- conv2 output slimming (consumer = next bottleneck conv1) ----
+        if "conv2" in convs:
+            nxt = csp_scope + (f"m{m_idx + 1}", "conv1")
+            if k_of(nxt) in params:
+                scale = np.asarray(mflat[c2 + ("mask", "scale")])
+                keep = scale > 0.0
+                if not keep.all():
+                    offset = np.asarray(mflat[c2 + ("mask", "offset")])
+                    const = _act_const(act_fn, offset, ~keep)
+                    wn = np.asarray(params[k_of(nxt)])  # 1x1: fold is exact
+                    params[b_of(nxt)] = (np.asarray(params[b_of(nxt)])
+                                         + np.einsum("hwio,i->o", wn, const))
+                    params[k_of(c2)] = np.asarray(params[k_of(c2)])[..., keep]
+                    params[b_of(c2)] = np.asarray(params[b_of(c2)])[keep]
+                    params[k_of(nxt)] = wn[:, :, keep, :]
+                    removed_out += int((~keep).sum())
+                out_w = int(keep.sum())
+
+        if hid_w is not None or out_w is not None:
+            # spec key: csp module name relative to the backbone
+            # (e.g. ("backbone", "backbone", "dark3_csp") -> "dark3_csp")
+            key = csp_scope[-1]
+            spec.setdefault(key, {})[m_idx] = (hid_w, out_w)
+
+    logger.info("slimmed %d hidden + %d inter-bottleneck channels",
+                removed_hidden, removed_out)
+    return {"params": unflatten_dict(params)}, spec
+
+
+def load_slim_spec(path: str) -> Dict[str, Dict[int, Tuple]]:
+    """Read a slim-spec json (int keys restored) for build_model(slim=...)."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    return {k: {int(i): tuple(v) for i, v in d.items()}
+            for k, d in raw.items()}
 
 
 def count_effective_params(variables: Dict, masks: Optional[Dict] = None

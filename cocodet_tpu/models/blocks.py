@@ -320,14 +320,21 @@ class Bottleneck(nn.Module):
     fused: bool = False
     use_mask: bool = False      # ChannelMask on prunable convs (Pruner runtime)
     weight_mask: bool = False   # SynFlow elementwise kernel masks
+    hidden_width: Optional[int] = None  # channel-slim override for conv1 out
+    out_width: Optional[int] = None     # channel-slim override for conv2 out
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
-        hidden = int(self.features * self.expansion)
+        hidden = (self.hidden_width if self.hidden_width is not None
+                  else int(self.features * self.expansion))
+        out_features = (self.out_width if self.out_width is not None
+                        else self.features)
         use_add = self.shortcut and cin == self.features
+        if use_add:
+            out_features = self.features  # residual requires matching widths
         kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
                   axis_name=self.axis_name, weight_mask=self.weight_mask)
         dkw = dict(kw)
@@ -337,13 +344,13 @@ class Bottleneck(nn.Module):
                       name="conv1", **kw)(x, train)
         conv2_prunable = (not use_add) and (not self.is_last)
         if self.depthwise and self.custom and (not self.is_last) and (not use_add):
-            y = DWConvNoP(self.features, self.kernel_size, 1, self.dilation,
+            y = DWConvNoP(out_features, self.kernel_size, 1, self.dilation,
                           weight_mask=self.weight_mask, name="conv2", **dkw)(y, train)
         elif self.depthwise:
-            y = DWConv(self.features, self.kernel_size, 1, self.dilation,
+            y = DWConv(out_features, self.kernel_size, 1, self.dilation,
                        weight_mask=self.weight_mask, name="conv2", **dkw)(y, train)
         else:
-            y = ConvBnAct(self.features, self.kernel_size, 1,
+            y = ConvBnAct(out_features, self.kernel_size, 1,
                           dilation=self.dilation,
                           prune=conv2_prunable,
                           use_mask=self.use_mask and conv2_prunable,
@@ -435,6 +442,9 @@ class CSPLayer(nn.Module):
     fused: bool = False
     use_mask: bool = False
     weight_mask: bool = False
+    # channel-slim overrides: {bottleneck_index: (hidden_width, out_width)},
+    # produced by compress.merge.slim_channels; None entries keep defaults
+    slim: Optional[Any] = None
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -451,6 +461,7 @@ class CSPLayer(nn.Module):
 
         x1 = x0
         for i in range(self.n):
+            hw, ow = (self.slim or {}).get(i, (None, None))
             x1 = Bottleneck(
                 hidden,
                 shortcut=self.shortcut,
@@ -464,6 +475,8 @@ class CSPLayer(nn.Module):
                 fused=self.fused,
                 use_mask=self.use_mask,
                 weight_mask=self.weight_mask,
+                hidden_width=hw,
+                out_width=ow,
                 dtype=self.dtype,
                 axis_name=self.axis_name,
                 name=f"m{i}",

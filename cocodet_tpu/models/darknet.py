@@ -105,6 +105,7 @@ class CSPBackbone(nn.Module):
     use_mask: bool = False
     weight_mask: bool = False
     remat: bool = False  # rematerialize CSP stages (memory for FLOPs)
+    slim: Optional[Dict[str, Any]] = None  # {"darkN_csp": {i: (hid, out)}}
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -143,6 +144,7 @@ class CSPBackbone(nn.Module):
                 custom=custom,
                 use_mask=self.use_mask,
                 weight_mask=self.weight_mask,
+                slim=(self.slim or {}).get(f"{spec.name}_csp"),
                 name=f"{spec.name}_csp",
                 **kw,
             )(x, train)

@@ -75,6 +75,7 @@ class YOLOPAFPN(nn.Module):
     use_mask: bool = False
     weight_mask: bool = False
     remat: bool = False
+    slim: Optional[Dict[str, Any]] = None  # backbone stage slim map
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -110,6 +111,7 @@ class YOLOPAFPN(nn.Module):
             use_mask=self.use_mask,
             weight_mask=self.weight_mask,
             remat=self.remat,
+            slim=self.slim,
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="backbone",

@@ -66,6 +66,7 @@ class YOLOX(nn.Module):
     use_mask: bool = False
     weight_mask: bool = False
     remat: bool = False
+    slim: Optional[Any] = None  # backbone channel-slim map (compress.merge)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -81,6 +82,7 @@ class YOLOX(nn.Module):
             use_mask=self.use_mask,
             weight_mask=self.weight_mask,
             remat=self.remat,
+            slim=self.slim,
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="backbone",

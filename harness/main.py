@@ -56,11 +56,18 @@ def build_model_and_vars(cfg, rng_seed: int = 0):
         "yolox-p6": "yolox-p6", "yolox-p6-v2": "yolox-p6v2",
     }
     name = name_map.get(mcfg.get("type", "yolox-p6"), "yolox-p6")
+    slim = None
+    if cfg.get("slim_spec") and os.path.exists(cfg["slim_spec"]):
+        from cocodet_tpu.compress import load_slim_spec
+
+        slim = load_slim_spec(cfg["slim_spec"])
+        print(f"channel-slim spec: {len(slim)} csp layers")
     model = build_model(
         name,
         depth=float(mcfg.get("depth", 0.67)),
         width=float(mcfg.get("width", 0.75)),
         fused=True,
+        slim=slim,
         dtype=jnp.bfloat16 if cfg.get("half", True) else jnp.float32,
     )
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)

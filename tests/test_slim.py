@@ -1,0 +1,123 @@
+"""Channel slimming end-to-end: masked model == slimmed narrow model.
+
+The chain under test (SURVEY.md §7 "hard parts" — pruning->dense channel
+adaptation): ChannelMask-pruned variables -> BN-fold + mask fold
+(merge_for_deployment) -> physical channel removal + width spec
+(slim_channels) -> a genuinely narrower model (build_model(slim=spec))
+whose outputs match the masked original.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from cocodet_tpu.compress import merge_for_deployment, slim_channels
+from cocodet_tpu.models import build_model
+
+W, D = 0.25, 0.33
+
+
+def _prune_some_channels(variables, frac=0.4, zero_offset=True, seed=0):
+    """Emulate the Pruner: zero a fraction of ChannelMask scales.
+
+    zero_offset=True leaves offsets at 0 (the exact-fold case);
+    False sets offsets to the bn bias like Pruner surgery does.
+    """
+    rs = np.random.RandomState(seed)
+    masks = dict(flatten_dict(variables["masks"]))
+    params = flatten_dict(variables["params"])
+    n_zeroed = 0
+    for path in list(masks):
+        if path[-2:] != ("mask", "scale"):
+            continue
+        scale = np.asarray(masks[path]).copy()
+        kill = rs.rand(scale.shape[0]) < frac
+        if kill.all():
+            kill[rs.randint(scale.shape[0])] = False  # keep >=1 channel
+        scale[kill] = 0.0
+        masks[path] = jnp.asarray(scale)
+        if not zero_offset:
+            bias = np.asarray(params[path[:-2] + ("bn", "bias")])
+            off = np.asarray(masks[path[:-1] + ("offset",)]).copy()
+            off[kill] = bias[kill]
+            masks[path[:-1] + ("offset",)] = jnp.asarray(off)
+        n_zeroed += int(kill.sum())
+    out = dict(variables)
+    out["masks"] = unflatten_dict(masks)
+    return out, n_zeroed
+
+
+@pytest.fixture(scope="module")
+def masked_setup():
+    model = build_model("yolox-p6", depth=D, width=W, use_mask=True)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 255
+    variables = dict(model.init(jax.random.PRNGKey(0), x))
+    # non-trivial BN stats so the fold is meaningful
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda a: a + 0.05, variables["batch_stats"])
+    return model, variables, x
+
+
+def n_params(tree):
+    return sum(int(np.prod(np.shape(p)))
+               for p in jax.tree_util.tree_leaves(tree))
+
+
+def test_slim_exact_when_offsets_zero(masked_setup):
+    model, variables, x = masked_setup
+    pruned, n_zeroed = _prune_some_channels(dict(variables), zero_offset=True)
+    assert n_zeroed > 0
+    ref = model.apply(pruned, x)
+
+    merged = merge_for_deployment(pruned, eps=1e-3)
+    slimmed, spec = slim_channels(merged, pruned["masks"], act="hard_swish")
+    assert spec, "no slim spec produced"
+    assert n_params(slimmed) < n_params(merged)
+
+    slim_model = build_model("yolox-p6", depth=D, width=W, fused=True,
+                             slim=spec)
+    got = slim_model.apply(slimmed, x)
+    for r, g in zip(ref, got):
+        for k in ("reg", "obj", "cls"):
+            np.testing.assert_allclose(np.asarray(g[k]), np.asarray(r[k]),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_slim_approx_with_offsets(masked_setup):
+    """Pruner-style offsets (bn bias): exact except a 1-px conv2 border rim."""
+    model, variables, x = masked_setup
+    pruned, _ = _prune_some_channels(dict(variables), zero_offset=False,
+                                     seed=1)
+    ref = model.apply(pruned, x)
+
+    merged = merge_for_deployment(pruned, eps=1e-3)
+    slimmed, spec = slim_channels(merged, pruned["masks"], act="hard_swish")
+    slim_model = build_model("yolox-p6", depth=D, width=W, fused=True,
+                             slim=spec)
+    got = slim_model.apply(slimmed, x)
+    # interior agreement: compare medians / bulk, allow border-driven tail
+    for r, g in zip(ref, got):
+        diff = np.abs(np.asarray(g["cls"]) - np.asarray(r["cls"]))
+        assert np.median(diff) < 1e-3, float(np.median(diff))
+
+
+def test_slim_spec_roundtrip(tmp_path, masked_setup):
+    import json
+
+    from cocodet_tpu.compress import load_slim_spec
+
+    model, variables, x = masked_setup
+    pruned, _ = _prune_some_channels(dict(variables))
+    merged = merge_for_deployment(pruned, eps=1e-3)
+    _, spec = slim_channels(merged, pruned["masks"])
+    p = tmp_path / "spec.json"
+    with open(p, "w") as f:
+        json.dump(spec, f)
+    loaded = load_slim_spec(str(p))
+    assert loaded.keys() == spec.keys()
+    for k in spec:
+        assert {i: tuple(v) for i, v in spec[k].items()} == loaded[k]

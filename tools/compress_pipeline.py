@@ -79,10 +79,16 @@ def main():
                 f"{total2:,}")
 
     if args.slim and "masks" in variables:
-        slimmed = slim_channels(merged, variables["masks"])
+        import json
+
+        slimmed, spec = slim_channels(merged, variables["masks"])
         save_checkpoint({"model": slimmed}, False, args.out_dir,
                         name + "_slim")
-        logger.info("wrote channel-slimmed tree")
+        spec_path = os.path.join(args.out_dir, name + "_slim_spec.json")
+        with open(spec_path, "w") as f:
+            json.dump(spec, f)
+        logger.info("wrote channel-slimmed tree + %s (%d csp layers)",
+                    spec_path, len(spec))
 
 
 if __name__ == "__main__":
