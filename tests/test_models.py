@@ -145,3 +145,11 @@ def test_yolo_fpn_legacy():
     # dark5 at 512 (ref yolo_fpn.py:22-28 widths)
     assert [o.shape for o in outs] == [
         (1, 8, 8, 128), (1, 4, 4, 256), (1, 2, 2, 512)]
+
+
+def test_depthwise_variant_forward():
+    model = build_model("yolox-dw", depth=D, width=W)
+    x = jnp.zeros((1, 64, 64, 3))
+    outs = model.apply(model.init(jax.random.PRNGKey(0), x), x)
+    assert len(outs) == 3
+    assert outs[0]["cls"].shape == (1, 8, 8, 80)

@@ -245,3 +245,22 @@ def test_losses_grad_flows():
     g = jax.grad(loss_fn)(jnp.zeros((1, 4, 4, 4)))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_soft_nms_decays_overlaps():
+    # two heavy overlaps, one distant: soft-NMS keeps all but decays scores
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                        jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+    classes = jnp.zeros(3, jnp.int32)
+    res = nms_single(boxes, scores, classes, scores, jnp.ones(3, bool),
+                     iou_threshold=0.5, max_det=5, class_agnostic=True,
+                     soft=True)
+    v = np.asarray(res.valid)
+    s = np.asarray(res.scores)[v]
+    assert v.sum() == 3
+    # the overlapping second box decayed; the distant one did not
+    assert s[0] == pytest.approx(0.9, abs=1e-5)
+    decayed = sorted(s)[:2]
+    assert min(decayed) < 0.8
+    assert np.isclose(s, 0.7).any()
