@@ -159,16 +159,16 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
     timer.toc("warmup")
 
     n_img = 0
-    for imgs, infos in loader:
+
+    def drain(res, infos):
+        """Host-side conversion of one finished batch."""
+        nonlocal n_img
         timer.tic()
-        batch = jnp.asarray(imgs)
-        timer.toc("h2d")
-        res = jax.block_until_ready(step(batch))
-        timer.toc("forward+nms")
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
         classes = np.asarray(res.classes)
         valid = np.asarray(res.valid)
+        timer.toc("forward+nms")  # np.asarray blocks on the device result
         for i, (h, w, name) in enumerate(infos):
             scale = min(cfg["img_size"] / h, cfg["img_size"] / w)
             image_id = int(os.path.splitext(name)[0].lstrip("0") or 0) \
@@ -197,6 +197,20 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
                                 "segmentation": []})
             n_img += 1
         timer.toc("convert")
+
+    # software-pipelined loop: while batch k computes on device (async jax
+    # dispatch), batch k-1's results convert on host
+    pending = None
+    for imgs, infos in loader:
+        timer.tic()
+        batch = jnp.asarray(imgs)
+        timer.toc("h2d")
+        res = step(batch)  # async dispatch — do not block here
+        if pending is not None:
+            drain(*pending)
+        pending = (res, infos)
+    if pending is not None:
+        drain(*pending)
 
     with open(out_path, "w") as f:
         json.dump(results, f)
