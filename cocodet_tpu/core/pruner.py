@@ -232,11 +232,16 @@ class Pruner(Trainer):
             iou_type=exp.iou_type)
         self.score_step = make_score_step(self.model, exp.strides,
                                           exp.num_classes, exp.iou_type)
+        self._setup_mesh(batch_size)
         self.evaluator = exp.get_evaluator(batch_size=batch_size)
+        if self.data_sharding is not None and hasattr(self.evaluator,
+                                                      "sharding"):
+            self.evaluator.sharding = self.data_sharding
         import random as _random
         self.size_rng = _random.Random((exp.seed or 0) + 1234)
         from ..data.samplers import DevicePrefetcher
-        self.prefetcher = DevicePrefetcher(self.train_loader)
+        self.prefetcher = DevicePrefetcher(self.train_loader,
+                                           sharding=self.data_sharding)
         self.data_iter = self.prefetcher  # has .next()
         logger.info("Pruner init done; %d iters/epoch", self.iters_per_epoch)
 
@@ -256,7 +261,11 @@ class Pruner(Trainer):
                 use_l1=self.use_l1, step_optimizer=step_opt)
             if (it + 1) % exp.print_interval == 0:
                 metrics = jax.device_get(metrics)
-                self.meter.update(**{k: float(v) for k, v in metrics.items()})
+                global_iter = self.epoch * self.iters_per_epoch + it
+                self.meter.update(
+                    lr=float(jnp.asarray(self.lr_schedule(
+                        jnp.asarray(global_iter, jnp.float32)))),
+                    **{k: float(v) for k, v in metrics.items()})
                 self._log_progress(it, exp.input_size)
             if (it + 1) % prune_every == 0:
                 self.prune()

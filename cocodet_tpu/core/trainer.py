@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.samplers import DevicePrefetcher
+from ..parallel import make_mesh, replicate
 from ..utils.checkpoint import load_checkpoint, load_matched, save_checkpoint
 from ..utils.logger import logger, setup_logger
 from ..utils.metric import MeterBuffer, device_mem_usage_mb
@@ -104,6 +105,8 @@ class Trainer:
             self._load_init_ckpt(init_ckpt)
         self.resume_train()
 
+        self._setup_mesh(batch_size)
+
         self.train_step = make_train_step(
             self.model, self.optimizer_tx, strides=exp.strides,
             num_classes=exp.num_classes, iou_type=exp.iou_type,
@@ -111,8 +114,12 @@ class Trainer:
 
         self.evaluator = exp.get_evaluator(
             batch_size=batch_size, is_distributed=jax.process_count() > 1)
+        if self.data_sharding is not None and hasattr(self.evaluator,
+                                                      "sharding"):
+            self.evaluator.sharding = self.data_sharding
         self.size_rng = random.Random((exp.seed or 0) + 1234)
-        self.prefetcher = DevicePrefetcher(self.train_loader)
+        self.prefetcher = DevicePrefetcher(self.train_loader,
+                                           sharding=self.data_sharding)
         self.data_iter = self.prefetcher  # has .next()
         self.tblogger = None
         if self.rank == 0:
@@ -124,6 +131,32 @@ class Trainer:
                 logger.info("tensorboard unavailable; skipping TB logs")
         logger.info("init done; %d iters/epoch, device mem %.0f MB",
                     self.iters_per_epoch, device_mem_usage_mb())
+
+    def _setup_mesh(self, batch_size: int):
+        """Device mesh (replaces ref DDP wrap, trainer.py:194-195): params
+        are replicated, batches batch-sharded over the "data" axis; jit/GSPMD
+        inserts the gradient psums AND computes BN stats over the GLOBAL
+        batch (true SyncBN) over ICI. If the batch doesn't divide over all
+        devices, the largest device count that divides it is used."""
+        self.mesh = None
+        self.data_sharding = None
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            import math as _math
+
+            use = _math.gcd(batch_size, n_dev)
+            if use < n_dev:
+                logger.warning(
+                    "batch_size %d not divisible by %d devices; "
+                    "using a %d-device mesh", batch_size, n_dev, use)
+            if use > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self.mesh = make_mesh(jax.devices()[:use])
+                self.data_sharding = NamedSharding(
+                    self.mesh, PartitionSpec("data"))
+                self.state = replicate(self.mesh, self.state)
+                logger.info("training over a %d-device data mesh", use)
 
     def _load_init_ckpt(self, path: str):
         ckpt = load_checkpoint(path)
@@ -247,9 +280,36 @@ class Trainer:
                 batch_stats=load_matched(self.state.batch_stats,
                                          raw.get("batch_stats", {})),
             )
+            # restore optimizer state (momentum / MultiSteps accumulators) —
+            # ref trainer.py:305-307 loads ckpt["optimizer"]; without this the
+            # first post-resume steps lose SGD momentum and accumulation.
+            if "opt_state" in ckpt:
+                from flax import serialization
+
+                self.state = self.state._replace(
+                    opt_state=serialization.from_state_dict(
+                        self.state.opt_state, ckpt["opt_state"]))
+            # re-seed the EMA shadow from the checkpoint's EMA ("model") tree
+            # so early post-resume evals/ckpts don't reflect init weights.
+            if self.state.ema is not None and "model" in ckpt:
+                shadow = {
+                    "params": load_matched(self.state.params,
+                                           ckpt["model"]["params"]),
+                    "batch_stats": load_matched(
+                        self.state.batch_stats,
+                        ckpt["model"].get("batch_stats", {})),
+                }
+                self.state = self.state._replace(
+                    ema=self.state.ema._replace(shadow=shadow))
             self.start_epoch = (args.start_epoch
                                 if getattr(args, "start_epoch", None)
                                 else ckpt.get("start_epoch", 0))
+            if self.state.ema is not None:
+                # the decay-warmup ramp position (ema.py:48-58) is a function
+                # of total updates, not wall epoch — keep it monotonic
+                self.state = self.state._replace(ema=self.state.ema._replace(
+                    updates=jnp.asarray(
+                        self.start_epoch * self.iters_per_epoch, jnp.int32)))
             self.best_ap = ckpt.get("best_ap", 0.0)
             logger.info("resumed from %s at epoch %d", ckpt_path,
                         self.start_epoch)

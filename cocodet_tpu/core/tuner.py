@@ -54,5 +54,9 @@ class Tuner(Trainer):
                 step_optimizer=self.epoch >= self.tune_start_epoch)
             if (it + 1) % exp.print_interval == 0:
                 metrics = jax.device_get(metrics)
-                self.meter.update(**{k: float(v) for k, v in metrics.items()})
+                global_iter = self.epoch * self.iters_per_epoch + it
+                self.meter.update(
+                    lr=float(jnp.asarray(self.lr_schedule(
+                        jnp.asarray(global_iter, jnp.float32)))),
+                    **{k: float(v) for k, v in metrics.items()})
                 self._log_progress(it, exp.input_size)

@@ -25,18 +25,89 @@ import numpy as np
 IMG_EXT = {"bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp"}
 
 
+def probe_image_size(path: str) -> Tuple[int, int]:
+    """(h, w) from the file header only — no full decode. Covers JPEG, PNG,
+    BMP, GIF, WEBP(VP8/VP8L/VP8X) and little-endian TIFF; returns (0, 0) on
+    unknown formats (caller falls back to cv2.imread)."""
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(32)
+        if head[:8] == b"\x89PNG\r\n\x1a\n":  # IHDR is the first chunk
+            w, h = struct.unpack(">II", head[16:24])
+            return h, w
+        if head[:2] == b"BM":  # BITMAPINFOHEADER
+            w, h = struct.unpack("<ii", head[18:26])
+            return abs(h), abs(w)
+        if head[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", head[6:10])
+            return h, w
+        if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+            fourcc = head[12:16]
+            if fourcc == b"VP8X":
+                w = int.from_bytes(head[24:27], "little") + 1
+                h = int.from_bytes(head[27:30], "little") + 1
+                return h, w
+            if fourcc == b"VP8L" and head[20:21] == b"\x2f":
+                bits = int.from_bytes(head[21:25], "little")
+                return ((bits >> 14) & 0x3FFF) + 1, (bits & 0x3FFF) + 1
+            if fourcc == b"VP8 ":
+                w, h = struct.unpack("<HH", head[26:30])
+                return h & 0x3FFF, w & 0x3FFF
+            return 0, 0
+        if head[:2] in (b"II", b"MM") and head[2:4] in (b"*\x00", b"\x00*"):
+            le = head[:2] == b"II"
+            fmt = "<" if le else ">"
+            f.seek(struct.unpack(fmt + "I", head[4:8])[0])
+            n = struct.unpack(fmt + "H", f.read(2))[0]
+            h = w = 0
+            for _ in range(n):
+                tag_bytes = f.read(12)
+                tag, typ = struct.unpack(fmt + "HH", tag_bytes[:4])
+                val = struct.unpack(
+                    fmt + ("H" if typ == 3 else "I"), tag_bytes[8:10 if typ == 3 else 12])[0]
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+            return h, w
+        if head[:2] == b"\xff\xd8":  # JPEG: scan segments for SOFn
+            f.seek(2)
+            while True:
+                seg = f.read(4)
+                if len(seg) < 4:
+                    return 0, 0
+                while seg[0:1] != b"\xff":  # resync on stray bytes
+                    seg = seg[1:] + f.read(1)
+                    if len(seg) < 4:
+                        return 0, 0
+                marker, ln = seg[1], struct.unpack(">H", seg[2:4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    data = f.read(5)
+                    h, w = struct.unpack(">HH", data[1:5])
+                    return h, w
+                f.seek(ln - 2, 1)
+    return 0, 0
+
+
 def list_images(data_dir: str) -> List[Tuple[str, int, int]]:
-    """(filename, h, w) for every image in the folder."""
+    """(filename, h, w) for every image in the folder. Sizes come from a
+    header-only probe (O(files), not O(bytes)); unparseable headers fall
+    back to a full cv2 decode."""
     out = []
     for f in sorted(os.listdir(data_dir)):
         path = os.path.join(data_dir, f)
         if not os.path.isfile(path) or f.split(".")[-1].lower() not in IMG_EXT:
             continue
-        # header-only size probe where possible; cv2 fallback reads fully
-        img = cv2.imread(path)
-        if img is None:
-            continue
-        h, w = img.shape[:2]
+        try:
+            h, w = probe_image_size(path)
+        except Exception:
+            h = w = 0
+        if h <= 0 or w <= 0:
+            img = cv2.imread(path)
+            if img is None:
+                continue
+            h, w = img.shape[:2]
         out.append((f, h, w))
     return out
 
@@ -75,7 +146,10 @@ def collate_batch(img_size: int, items: Sequence, pad_multiple: int = 64,
     """
     max_h = max(it[1][3] for it in items)
     max_w = max(it[1][4] for it in items)
-    mult = pad_multiple if img_size % 64 == 0 else 32
+    # pad_multiple is the MODEL's max stride (64 for P6) — it must not be
+    # relaxed for odd img_size or stride-64 upsample/concat shapes mismatch
+    # inside the PAFPN and the jitted step crashes.
+    mult = pad_multiple
     max_h = int(math.ceil(max_h / mult) * mult)
     max_w = int(math.ceil(max_w / mult) * mult)
 

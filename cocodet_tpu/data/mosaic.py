@@ -64,8 +64,13 @@ class MosaicDetection:
                  mosaic_scale: Sequence[float] = (0.5, 1.5),
                  mixup_scale: Sequence[float] = (0.5, 1.5),
                  shear: float = 2.0, enable_mixup: bool = True,
-                 mosaic_prob: float = 1.0, mixup_prob: float = 1.0):
+                 mosaic_prob: float = 1.0, mixup_prob: float = 1.0,
+                 rng: Optional[random.Random] = None):
         self._dataset = dataset
+        # per-loader RNG: seeded by the exp factory so augmentation streams
+        # are reproducible and rank-decorrelated (global `random` would be
+        # shared with any still-draining loader thread from a previous run)
+        self.rng = rng or random
         self.input_dim = img_size
         self.preproc = preproc
         self.degrees = degrees
@@ -86,28 +91,41 @@ class MosaicDetection:
         self.enable_mixup = False
 
     def __getitem__(self, index):
+        return self.fetch(index)
+
+    def fetch(self, index, rng: Optional[random.Random] = None):
+        """Item assembly with an explicit RNG. Passing a per-item seeded
+        ``rng`` (DetectionLoader does) makes the augmentation stream
+        deterministic regardless of worker count or scheduling."""
+        rng = rng or self.rng
         if isinstance(index, tuple):  # (mosaic_flag, idx) sampler tuples
             self.enable_mosaic, index = index
 
-        if self.enable_mosaic and random.random() < self.mosaic_prob:
-            img, labels, img_info, img_id = self._mosaic_item(index)
+        if self.enable_mosaic and rng.random() < self.mosaic_prob:
+            img, labels, img_info, img_id = self._mosaic_item(index, rng)
         else:
             self._dataset.img_size = self.input_dim
             img, labels, img_info, img_id = self._dataset.pull_item(index)
 
         if (self.enable_mosaic and self.enable_mixup and len(labels)
-                and random.random() < self.mixup_prob):
-            img, labels = self.mixup(img, labels, self.input_dim)
+                and rng.random() < self.mixup_prob):
+            img, labels = self.mixup(img, labels, self.input_dim, rng)
 
         if self.preproc is not None:
-            img, labels = self.preproc(img, labels, self.input_dim)
+            img, labels = self.preproc(img, labels, self.input_dim,
+                                       rng=self._preproc_rng(rng))
         return img, labels, img_info, img_id
 
-    def _mosaic_item(self, index):
+    def _preproc_rng(self, rng=None):
+        rng = rng or self.rng
+        return rng if isinstance(rng, random.Random) else None
+
+    def _mosaic_item(self, index, rng: Optional[random.Random] = None):
+        rng = rng or self.rng
         ih, iw = self.input_dim
-        yc = int(random.uniform(0.5 * ih, 1.5 * ih))
-        xc = int(random.uniform(0.5 * iw, 1.5 * iw))
-        indices = [index] + [random.randint(0, len(self._dataset) - 1)
+        yc = int(rng.uniform(0.5 * ih, 1.5 * ih))
+        xc = int(rng.uniform(0.5 * iw, 1.5 * iw))
+        indices = [index] + [rng.randint(0, len(self._dataset) - 1)
                              for _ in range(3)]
 
         canvas = np.full((ih * 2, iw * 2, 3), 114, np.uint8)
@@ -134,15 +152,28 @@ class MosaicDetection:
                   else np.zeros((0, 5), np.float32))
         canvas, labels = random_affine(
             canvas, labels, target_size=(iw, ih), degrees=self.degrees,
-            translate=self.translate, scales=self.scale, shear=self.shear)
+            translate=self.translate, scales=self.scale, shear=self.shear,
+            rng=self._preproc_rng(rng))
         return canvas, labels, img_info, img_id
 
-    def mixup(self, origin_img, origin_labels, input_dim):
+    def mixup(self, origin_img, origin_labels, input_dim,
+              rng: Optional[random.Random] = None):
         """Flip-augmented second image blended 1:1 (upstream YOLOX mixup)."""
-        jit = random.uniform(*self.mixup_scale)
-        flip = random.random() > 0.5
-        idx = random.randint(0, len(self._dataset) - 1)
-        img, cp_labels, _, _ = self._dataset.pull_item(idx)
+        rng = rng or self.rng
+        jit = rng.uniform(*self.mixup_scale)
+        flip = rng.random() > 0.5
+        # resample until the partner has labels (upstream mixup retries on
+        # empty annotations; blending a label-free image adds box-less
+        # foreground noise)
+        cp_labels = np.zeros((0, 5), np.float32)
+        img = None
+        for _ in range(50):
+            idx = rng.randint(0, len(self._dataset) - 1)
+            img, cp_labels, _, _ = self._dataset.pull_item(idx)
+            if len(cp_labels) > 0:
+                break
+        if img is None or len(cp_labels) == 0:
+            return origin_img, origin_labels
 
         ih, iw = input_dim
         cp_img = np.full((ih, iw, 3), 114, np.uint8)
@@ -160,8 +191,8 @@ class MosaicDetection:
         th, tw = cp_img.shape[:2]
         pad = np.full((max(oh, th), max(ow, tw), 3), 114, np.uint8)
         pad[:th, :tw] = cp_img
-        x_off = random.randint(0, max(pad.shape[1] - ow, 0)) if pad.shape[1] > ow else 0
-        y_off = random.randint(0, max(pad.shape[0] - oh, 0)) if pad.shape[0] > oh else 0
+        x_off = rng.randint(0, max(pad.shape[1] - ow, 0)) if pad.shape[1] > ow else 0
+        y_off = rng.randint(0, max(pad.shape[0] - oh, 0)) if pad.shape[0] > oh else 0
         crop = pad[y_off:y_off + oh, x_off:x_off + ow]
 
         boxes = cp_labels[:, :4].copy() * scale if len(cp_labels) else np.zeros((0, 4))

@@ -69,41 +69,102 @@ class YoloBatchSampler:
                 batch = []
 
 
+# fork-shared dataset slot for process workers: set by DetectionLoader
+# BEFORE the ProcessPoolExecutor forks, read by _process_fetch in the child.
+# No pickling of the (possibly image-caching) dataset happens this way.
+_FORK_DATASET = None
+
+
+def _process_fetch(item, rng_seed):
+    rng = random.Random(rng_seed)
+    ds = _FORK_DATASET
+    if hasattr(ds, "fetch"):
+        return ds.fetch(item, rng)
+    return ds[item]
+
+
 class DetectionLoader:
-    """Threaded batch assembler over a map-style dataset.
+    """Batch assembler over a map-style dataset with thread or process
+    workers (ref yolox/data/dataloading.py torch DataLoader workers).
 
     Yields (images (B,H,W,3) float32, labels (B,G,5) float32, infos, ids).
     ``close_mosaic()`` mirrors ref dataloading.py: flips the sampler flag and
     the dataset's own switch.
+
+    Every item is fetched with its own ``random.Random`` seeded from
+    (loader seed, stream position), so the augmentation stream is
+    deterministic regardless of worker count, executor type, or scheduling.
+    mode="process" forks worker processes (mosaic + affine are cv2/numpy
+    heavy; threads serialize on the GIL for the numpy parts).
     """
 
     def __init__(self, dataset, batch_sampler: YoloBatchSampler,
-                 num_workers: int = 2, seed: int = 0, prefetch: int = 2):
+                 num_workers: int = 2, seed: int = 0, prefetch: int = 2,
+                 mode: str = "thread"):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.num_workers = max(num_workers, 1)
         self.seed = seed
         self.prefetch = prefetch
+        self.mode = mode
+        self._counter = 0
 
     def close_mosaic(self):
         self.batch_sampler.mosaic = False
         if hasattr(self.dataset, "close_mosaic"):
             self.dataset.close_mosaic()
+        # process workers hold a forked copy of the dataset: restart them so
+        # the flag flip is visible (thread workers share the object)
+        self._restart_pool = True
 
-    def _fetch(self, item):
+    def _item_seed(self, counter: int) -> int:
+        return (self.seed + 1) * 1_000_003 + counter
+
+    def _fetch(self, item, counter):
+        rng = random.Random(self._item_seed(counter))
+        if hasattr(self.dataset, "fetch"):
+            return self.dataset.fetch(item, rng)
         return self.dataset[item]
 
+    def _make_pool(self):
+        if self.mode == "process":
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            global _FORK_DATASET
+            _FORK_DATASET = self.dataset
+            return ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("fork"))
+        return ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def _submit(self, pool, item, counter):
+        if self.mode == "process":
+            return pool.submit(_process_fetch, item,
+                               self._item_seed(counter))
+        return pool.submit(self._fetch, item, counter)
+
     def __iter__(self):
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        self._restart_pool = False
+        pool = self._make_pool()
         batches = iter(self.batch_sampler)
         pending = queue.Queue()
 
         def submit_next():
+            nonlocal pool
+            if self._restart_pool:
+                pool.shutdown(wait=False, cancel_futures=False)
+                pool = self._make_pool()
+                self._restart_pool = False
             try:
                 batch = next(batches)
             except StopIteration:
                 return False
-            pending.put([pool.submit(self._fetch, it) for it in batch])
+            futs = []
+            for it in batch:
+                futs.append(self._submit(pool, it, self._counter))
+                self._counter += 1
+            pending.put(futs)
             return True
 
         for _ in range(self.prefetch):

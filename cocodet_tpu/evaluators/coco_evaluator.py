@@ -45,6 +45,10 @@ class COCOEvaluator:
         self.max_det = max_det
         self.pre_nms_topk = pre_nms_topk
         self.per_class_ap = per_class_ap
+        # optional NamedSharding for eval batches (set by Trainer when it
+        # builds a device mesh): forward+NMS then runs batch-sharded over
+        # the same mesh as training
+        self.sharding = None
 
     # ------------------------------------------------------------------
     def _build_step(self, exp, model):
@@ -150,6 +154,8 @@ class COCOEvaluator:
         t0 = time.perf_counter()
         for imgs, infos, ids in self._batches():
             t1 = time.perf_counter()
+            if self.sharding is not None:
+                imgs = jax.device_put(imgs, self.sharding)
             result = jax.block_until_ready(step(model_vars, imgs))
             t2 = time.perf_counter()
             data_list.extend(self.convert_to_coco_format(result, infos, ids))

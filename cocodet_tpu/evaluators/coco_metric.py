@@ -94,10 +94,15 @@ def match_image(ious: np.ndarray, gt_ignore: np.ndarray, gt_crowd: np.ndarray,
 
 
 def _native_match():
-    """Return the C++ fast matcher if the extension is built, else None."""
+    """Return the C++ fast matcher if the extension builds AND passes its
+    load-time probe, else None (callers then use the python oracle). The
+    eager probe here means a broken/foreign-ISA .so degrades to the python
+    matcher instead of raising mid-summarize."""
     try:
-        from ..layers.fast_coco_eval import match_image as native
-        return native
+        from ..layers import fast_coco_eval as fce
+        if fce._load() is None:
+            return None
+        return fce.match_image
     except Exception:
         return None
 

@@ -21,3 +21,5 @@ register_exp("yolox-m-p6", "cocodet_tpu.exp.yolox_exp.CustomP6Exp",
              depth=0.67, width=0.75)
 register_exp("yolox-m-p6v2", "cocodet_tpu.exp.yolox_exp.CustomP6v2Exp",
              depth=0.67, width=0.75)
+register_exp("yolov3", "cocodet_tpu.exp.yolox_exp.Exp",
+             depth=1.0, width=1.0, model_name="yolov3")

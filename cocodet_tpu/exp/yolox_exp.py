@@ -143,6 +143,7 @@ class Exp(BaseExp):
             enable_mixup=self.enable_mixup,
             mosaic_prob=self.mosaic_prob,
             mixup_prob=self.mixup_prob,
+            rng=random.Random(1_000_003 * (seed + 1) + rank),
         )
         sampler = InfiniteSampler(len(dataset), seed=seed, rank=rank,
                                   world_size=world_size)

@@ -21,10 +21,11 @@ _SO = os.path.join(_DIR, "_cocoeval.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> bool:
+def _build(native_arch: bool = True) -> bool:
+    arch = ["-march=native"] if native_arch else []
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", *arch, "-shared", "-fPIC", "-std=c++17",
              _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return True
@@ -32,17 +33,7 @@ def _build() -> bool:
         return False
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
-        return None
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.match_image.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -55,6 +46,48 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
     ]
+    return lib
+
+
+def _try_load_and_probe() -> Optional[ctypes.CDLL]:
+    """CDLL + a tiny end-to-end probe so symbol/ABI problems surface here
+    (where callers can fall back to the python oracle), not mid-summarize."""
+    try:
+        lib = _bind(ctypes.CDLL(_SO))
+        ious = np.asarray([[0.9]], np.float64)
+        thrs = np.asarray([0.5], np.float64)
+        dm = np.empty((1, 1), np.int64)
+        di = np.empty((1, 1), np.uint8)
+        z = np.zeros(1, np.uint8)
+        lib.match_image(
+            _ptr(ious, ctypes.c_double), 1, 1,
+            _ptr(z, ctypes.c_uint8), _ptr(z, ctypes.c_uint8),
+            _ptr(thrs, ctypes.c_double), 1,
+            _ptr(dm, ctypes.c_int64), _ptr(di, ctypes.c_uint8))
+        if int(dm[0, 0]) != 0:
+            return None
+        return lib
+    except Exception:
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    stale = (not os.path.exists(_SO)
+             or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+    if stale and not _build():
+        return None
+    lib = _try_load_and_probe()
+    if lib is None and not stale:
+        # existing .so may be from a different host/ISA — rebuild fresh
+        try:
+            os.remove(_SO)
+        except OSError:
+            pass
+        if _build() or _build(native_arch=False):
+            lib = _try_load_and_probe()
     _lib = lib
     return lib
 

@@ -21,30 +21,59 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _build(native_arch: bool = True) -> bool:
+    arch = ["-march=native"] if native_arch else []
+    try:
+        subprocess.run(
+            ["g++", "-O3", *arch, "-shared", "-fPIC",
+             "-std=c++17", "-pthread", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _try_load_and_probe() -> Optional[ctypes.CDLL]:
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.letterbox_u8.restype = ctypes.c_float
+        lib.letterbox_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int,
+        ]
+        # tiny end-to-end probe: 2x2 -> 4x4 letterbox must return ratio 2.0
+        img = np.zeros((2, 2, 3), np.uint8)
+        out = np.empty((4, 4, 3), np.float32)
+        r = lib.letterbox_u8(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 2, 2,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 4, 4,
+            ctypes.c_float(114.0), 1)
+        if abs(float(r) - 2.0) > 1e-5:
+            return None
+        return lib
+    except Exception:
+        return None
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", "-pthread", _SRC, "-o", _SO],
-                check=True, capture_output=True, timeout=120)
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
+    stale = (not os.path.exists(_SO)
+             or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+    if stale and not _build():
         return None
-    lib.letterbox_u8.restype = ctypes.c_float
-    lib.letterbox_u8.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-        ctypes.c_float, ctypes.c_int,
-    ]
+    lib = _try_load_and_probe()
+    if lib is None and not stale:
+        # existing .so may come from a different host/ISA — rebuild fresh
+        try:
+            os.remove(_SO)
+        except OSError:
+            pass
+        if _build() or _build(native_arch=False):
+            lib = _try_load_and_probe()
     _lib = lib
     return lib
 

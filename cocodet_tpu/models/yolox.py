@@ -48,6 +48,9 @@ MODEL_SPECS = {
     "yolox-p6": ModelSpec("p6", (8, 16, 32, 64)),
     # P6v2 — ref yolox/exp/yolox_p6_v2.py
     "yolox-p6v2": ModelSpec("p6v2", (8, 16, 32, 64)),
+    # legacy YOLOv3 = Darknet-53 YOLOFPN + lrelu decoupled head
+    # (ref exps/default/yolov3.py:27-34)
+    "yolov3": ModelSpec("yolofpn", (8, 16, 32), act="lrelu"),
 }
 
 
@@ -72,6 +75,18 @@ class YOLOX(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_taps: bool = False):
+        if self.spec.variant == "yolofpn":
+            from .yolo_fpn import YOLOFPN
+
+            assert not return_taps, "yolov3 has no distill taps"
+            backbone = YOLOFPN(fused=self.fused, dtype=self.dtype,
+                               axis_name=self.axis_name, name="backbone")
+            head = YOLOXHead(
+                num_classes=self.num_classes, width=self.width,
+                num_levels=len(self.spec.strides), act=self.spec.act,
+                fused=self.fused, dtype=self.dtype,
+                axis_name=self.axis_name, name="head")
+            return head(backbone(x, train), train)
         backbone = YOLOPAFPN(
             variant=self.spec.variant,
             depth=self.depth,

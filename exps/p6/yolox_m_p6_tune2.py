@@ -1,8 +1,7 @@
-"""Phase-2 competition fine-tune: init from phase-1 weights, 100 ep @896,
-GIoU, bn_momentum 0.01, multiscale (-1, 1).
+"""Phase-3 fine-tune: continue from the phase-2 result at 896 with silu.
 
-Parity: ref exps/p6/yolox_m_p6_tune.py:20-56 — the recipe BASELINE.json
-config #5 names as the second stage of the two-phase training.
+Parity: ref exps/p6/yolox_m_p6_tune2.py:10-56 (warmup 10, 150 ep,
+multiscale (-2, 1), init from pre_m_p6_tune).
 """
 
 import os
@@ -16,20 +15,21 @@ class Exp(CustomP6Exp):
         self.depth = 0.67
         self.width = 0.75
         self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
-        self.exp_name += "_tune"
+        self.exp_name += "_tune3"
+        self.act = "silu"
 
-        self.init_ckpt = "weights/pre_m_p6.msgpack"
+        self.init_ckpt = "weights/pre_m_p6_tune.msgpack"
 
-        self.bn_momentum = 0.01          # reduced 0.03 -> 0.01
+        self.bn_momentum = 0.01
 
         self.data_num_workers = 4
         self.input_size = (896, 896)
-        self.multiscale_range = (-1, 1)
+        self.multiscale_range = (-2, 1)
         self.multiscale_step = 64
 
         self.num_accumulate = 1
-        self.warmup_epochs = 5
-        self.max_epoch = 100
+        self.warmup_epochs = 10
+        self.max_epoch = 150
         self.warmup_lr = 0.0
         self.basic_lr_per_img = 0.01 / (64.0 / self.num_accumulate)
         self.scheduler = "yoloxwarmcos"

@@ -149,8 +149,14 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
         print("dummy forward ok:", res.boxes.shape)
         return []
 
+    max_stride = max(strides)
+    if cfg["img_size"] % max_stride != 0:
+        raise ValueError(
+            f"img_size {cfg['img_size']} must be a multiple of the model's "
+            f"max stride {max_stride} (P6 upsample/concat shapes)")
     dataset = ImageFolderDataset(cfg["data_dir"], cfg["img_size"])
-    loader = FolderLoader(dataset, int(cfg["dataloader"]["batch_size"]))
+    loader = FolderLoader(dataset, int(cfg["dataloader"]["batch_size"]),
+                          pad_multiple=max_stride)
 
     # warmup (ref main.py:137-140)
     warm = np.full((int(cfg["dataloader"]["batch_size"]),

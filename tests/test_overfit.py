@@ -74,3 +74,32 @@ def test_overfit_synthetic_box():
                 best_cls = int(np.asarray(res.classes)[i, j])
         assert best_iou > 0.5, (i, best_iou)
         assert best_cls == int(labels[i, 0, 0]), (i, best_cls)
+
+
+def test_loss_decreases_fast():
+    """Default-tier convergence signal (~60 steps): the full jitted train
+    step must drive loss down on a fixed synthetic batch. The slow
+    test_overfit_synthetic_box additionally checks detection emergence."""
+    rng = jax.random.PRNGKey(0)
+    model = build_model("yolox-p6", depth=0.33, width=0.125)
+
+    imgs = np.full((2, 64, 64, 3), 80.0, np.float32)
+    imgs[0, 16:40, 8:32] = 255.0
+    imgs[1, 32:56, 32:56] = 255.0
+    imgs = jnp.asarray(imgs)
+    labels = jnp.asarray([
+        [[3.0, 20.0, 28.0, 24.0, 24.0]] + [[0.0] * 5] * 4,
+        [[7.0, 44.0, 44.0, 24.0, 24.0]] + [[0.0] * 5] * 4,
+    ])
+
+    tx = optax.sgd(optax.linear_schedule(0.0, 2e-2, 20), momentum=0.9,
+                   nesterov=True)
+    state = create_train_state(model, tx, rng, imgs, use_ema=False)
+    step = make_train_step(model, tx, strides=(8, 16, 32, 64),
+                           num_classes=80, donate=False)
+    losses = []
+    for _ in range(60):
+        state, metrics = step(state, imgs, labels)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.75, (losses[0], losses[-1])

@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""End-to-end competition pipeline in one scripted chain:
+
+  phase1 train (768) -> phase2 fine-tune (896, GIoU, ref
+  exps/p6/yolox_m_p6_tune.py) -> Taylor channel prune -> distill tune ->
+  offline compress + channel slim -> submission-harness self-eval (mAP).
+
+Parity: SURVEY.md §3.5 / BASELINE.json config #5 name this two-phase
+training + channel-adaptation + harness flow; the reference ships it as
+disconnected tools (tools/train.py, tools/prune.py, tools/tune.py,
+choijhanyangackr/submit/tools/main.py) that were never runnable as one
+command. Here the whole chain runs end-to-end, on real COCO or on a
+synthetic dataset (--tiny) for CI.
+
+Usage:
+  python tools/run_pipeline.py --data-dir /data/COCO --out outputs/pipeline
+  python tools/run_pipeline.py --tiny            # synthetic smoke (~CPU ok)
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class Args:
+    """Trainer-args shim (tools/train.py argparse surface)."""
+
+    batch_size = 8
+    resume = False
+    ckpt = None
+    cache = False
+    no_aug = False
+    experiment_name = None
+    start_epoch = None
+
+
+def _tiny_overrides(exp, data_dir, max_epoch=1):
+    exp.depth = 0.33
+    exp.width = 0.125
+    exp.data_dir = data_dir
+    exp.input_size = exp.test_size = (64, 64)
+    exp.multiscale_range = 0
+    exp.max_epoch = max_epoch
+    exp.warmup_epochs = 0
+    exp.no_aug_epochs = -1
+    exp.eval_interval = 100
+    exp.print_interval = 1
+    exp.data_num_workers = 1
+    exp.mosaic_prob = 0.0
+    exp.enable_mixup = False
+    exp.compute_dtype = "float32"
+    exp.seed = 0
+    return exp
+
+
+def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8):
+    from cocodet_tpu.exp import get_exp
+    from cocodet_tpu.utils.logger import logger
+
+    os.makedirs(out_dir, exist_ok=True)
+    args = Args()
+    args.batch_size = batch_size
+    results = {}
+
+    def stage_exp(exp_file, name):
+        exp = get_exp(exp_file=os.path.join(REPO, exp_file))
+        exp.output_dir = out_dir
+        exp.exp_name = name
+        if tiny:
+            _tiny_overrides(exp, data_dir)
+        else:
+            exp.data_dir = data_dir
+        return exp
+
+    # ---- phase 1: scratch training at 768 --------------------------------
+    from cocodet_tpu.core.trainer import Trainer
+
+    logger.info("=== pipeline stage 1/6: phase-1 training ===")
+    exp1 = stage_exp("exps/p6/yolox_m_p6.py", "pipe_phase1")
+    t1 = Trainer(exp1, args)
+    t1.train()
+    phase1_ckpt = os.path.join(out_dir, "pipe_phase1", "latest_ckpt.msgpack")
+    results["phase1_loss"] = float(t1.meter["loss"].latest)
+
+    # ---- phase 2: 896 GIoU fine-tune (ref exps/p6/yolox_m_p6_tune.py) ----
+    logger.info("=== pipeline stage 2/6: phase-2 fine-tune ===")
+    exp2 = stage_exp("exps/p6/yolox_m_p6_tune.py", "pipe_phase2")
+    exp2.init_ckpt = phase1_ckpt
+    t2 = Trainer(exp2, args)
+    t2.train()
+    phase2_ckpt = os.path.join(out_dir, "pipe_phase2", "latest_ckpt.msgpack")
+    results["phase2_loss"] = float(t2.meter["loss"].latest)
+
+    # ---- stage 3: Taylor channel pruning w/ teacher distill --------------
+    from cocodet_tpu.core import Pruner
+
+    logger.info("=== pipeline stage 3/6: channel pruning ===")
+    exp3 = stage_exp("exps/prune/yolox_m_p6_prune.py", "pipe_prune")
+    exp3.init_ckpt = phase2_ckpt
+    if tiny:
+        exp3.prune_channels = 8
+        exp3.prune_interval = 1.0
+        exp3.prune_score_batches = 1
+    p = Pruner(exp3, args)
+    p.train()
+    prune_ckpt = os.path.join(out_dir, "pipe_prune", "latest_ckpt.msgpack")
+    results["prune_loss"] = float(p.meter["loss"].latest)
+
+    # ---- stage 4: post-prune recovery tune (distill) ---------------------
+    from cocodet_tpu.core import Tuner
+
+    logger.info("=== pipeline stage 4/6: recovery fine-tune ===")
+    exp4 = stage_exp("exps/tune/yolox_m_p6_tune_distill.py", "pipe_tune")
+    exp4.init_ckpt = phase2_ckpt  # teacher = unpruned phase-2 model
+    t4 = Tuner(exp4, args)
+    t4.train()
+    results["tune_loss"] = float(t4.meter["loss"].latest)
+
+    # ---- stage 5: offline compression + channel slim ---------------------
+    from cocodet_tpu.compress import merge_for_deployment, slim_channels
+    from cocodet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    logger.info("=== pipeline stage 5/6: compress + slim ===")
+    ckpt = load_checkpoint(prune_ckpt)
+    pruned_vars = ckpt["model"]  # Pruner.eval_variables includes masks
+    merged = merge_for_deployment(pruned_vars, eps=1e-3)
+    save_checkpoint({"model": merged}, False, out_dir, "pipe_merged")
+    slim_spec = None
+    if "masks" in pruned_vars:
+        slimmed, spec = slim_channels(merged, pruned_vars["masks"],
+                                      act="hard_swish")
+        save_checkpoint({"model": slimmed}, False, out_dir, "pipe_slim")
+        slim_spec = os.path.join(out_dir, "pipe_slim_spec.json")
+        with open(slim_spec, "w") as f:
+            json.dump(spec, f)
+        results["slim_layers"] = len(spec)
+
+    # ---- stage 6: submission-harness self-eval ---------------------------
+    logger.info("=== pipeline stage 6/6: harness self-eval ===")
+    sys.path.insert(0, os.path.join(REPO, "harness"))
+    import importlib
+
+    hmain = importlib.import_module("main")
+    img_size = 64 if tiny else 896
+    cfg = {
+        "model": {"type": "yolox-p6",
+                  "depth": exp1.depth, "width": exp1.width},
+        "ckpt": os.path.join(out_dir, "pipe_slim_ckpt.msgpack")
+        if slim_spec else os.path.join(out_dir, "pipe_merged_ckpt.msgpack"),
+        "slim_spec": slim_spec,
+        "img_size": img_size,
+        "half": not tiny,
+        "data_dir": os.path.join(data_dir, "val2017"),
+        "dataloader": {"batch_size": batch_size},
+        "postprocess": {"conf_threshold": 0.001, "nms_threshold": 0.65,
+                        "use_pallas": False},
+        "input_aug": False,
+    }
+    out_json = os.path.join(out_dir, "pipe_detections.json")
+    hmain.run(cfg, out_json)
+
+    # score the detections with the COCO mAP metric
+    from cocodet_tpu.evaluators.coco_metric import COCOMeanAP
+
+    with open(os.path.join(data_dir, "annotations",
+                           "instances_val2017.json")) as f:
+        gt = json.load(f)
+    name_to_id = {im["file_name"]: im["id"] for im in gt["images"]}
+    with open(out_json) as f:
+        dets = json.load(f)
+    for d in dets:
+        if isinstance(d.get("image_id"), str):
+            d["image_id"] = name_to_id.get(d["image_id"], -1)
+    metric = COCOMeanAP()
+    metric.add_gt_annotations(gt["annotations"])
+    metric.add_detections([d for d in dets if "bbox" in d])
+    stats = metric.summarize()
+    results["mAP"] = stats["AP"]
+    results["AP50"] = stats["AP50"]
+
+    logger.info("pipeline done: %s", results)
+    with open(os.path.join(out_dir, "pipeline_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser("run_pipeline")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--out", default="outputs/pipeline")
+    ap.add_argument("--tiny", action="store_true",
+                    help="synthetic-data CPU smoke of the whole chain")
+    ap.add_argument("-b", "--batch-size", type=int, default=8)
+    args = ap.parse_args()
+
+    data_dir = args.data_dir
+    if args.tiny:
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if data_dir is None:
+            sys.path.insert(0, os.path.join(REPO, "tests"))
+            from synthetic import make_fake_coco
+
+            data_dir = make_fake_coco("/tmp/cocodet_pipeline_coco",
+                                      n_images=8)
+    assert data_dir, "--data-dir required unless --tiny"
+    run_pipeline(data_dir, args.out, tiny=args.tiny,
+                 batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()
