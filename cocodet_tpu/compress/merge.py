@@ -58,7 +58,8 @@ def _act_const(act_fn, offset: np.ndarray, removed: np.ndarray) -> np.ndarray:
     return np.asarray(act_fn(jnp.asarray(offset))) * removed
 
 
-def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish"
+def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
+                  round_to: int = 64
                   ) -> Tuple[Dict, Dict[str, Dict[int, Tuple[Optional[int],
                                                              Optional[int]]]]]:
     """Physically drop ChannelMask-dead channels from a FUSED param tree.
@@ -67,7 +68,24 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish"
     "<csp_module_name>" -> {bottleneck_index: (hidden_width, out_width)}
     suitable for models.build_model(slim={...}) (keys are relative to the
     backbone scope, e.g. "dark3_csp").
+
+    round_to: surviving-channel counts are rounded UP to this multiple by
+    RETAINING that many already-dead channels (their folded kernel slices
+    are zero, so outputs are bit-identical) — arbitrary widths like 147
+    waste MXU lanes; 64/128-aligned widths keep the conv tiling dense.
+    Set 1 to disable.
     """
+
+    def _round_keep(keep: np.ndarray) -> np.ndarray:
+        if round_to <= 1:
+            return keep
+        kept = int(keep.sum())
+        target = min(-(-kept // round_to) * round_to, keep.size)
+        extra = target - kept
+        if extra > 0:
+            keep = keep.copy()
+            keep[np.where(~keep)[0][:extra]] = True
+        return keep
     params = dict(flatten_dict(fused_variables["params"]))
     mflat = flatten_dict(masks)
     act_fn = get_activation(act)
@@ -106,7 +124,7 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish"
         # ---- conv1 output slimming ----
         if "conv1" in convs:
             scale = np.asarray(mflat[c1 + ("mask", "scale")])
-            keep = scale > 0.0
+            keep = _round_keep(scale > 0.0)
             if not keep.all():
                 offset = np.asarray(mflat[c1 + ("mask", "offset")])
                 const = _act_const(act_fn, offset, ~keep)
@@ -124,7 +142,7 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish"
             nxt = csp_scope + (f"m{m_idx + 1}", "conv1")
             if k_of(nxt) in params:
                 scale = np.asarray(mflat[c2 + ("mask", "scale")])
-                keep = scale > 0.0
+                keep = _round_keep(scale > 0.0)
                 if not keep.all():
                     offset = np.asarray(mflat[c2 + ("mask", "offset")])
                     const = _act_const(act_fn, offset, ~keep)

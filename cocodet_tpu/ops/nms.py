@@ -82,6 +82,61 @@ def _greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     return keep
 
 
+def _greedy_keep_tiled(boxes: jnp.ndarray, valid: jnp.ndarray,
+                       iou_threshold: float, tile: int = 256) -> jnp.ndarray:
+    """Exact greedy keep-mask, tile-sequential formulation.
+
+    The fixpoint in _greedy_keep re-reads the (K, K) overlap matrix from HBM
+    every iteration (~10x 16MB at K=2048) — memory-bound. Here the matrix is
+    never materialized: a lax.scan walks score-ordered tiles of ``tile``
+    boxes; each step computes the (K, tile) IoU block on the fly (boxes are
+    32KB — VMEM-resident), suppresses the tile by previously KEPT rows, and
+    resolves intra-tile suppression with a small (tile, tile) fixpoint.
+    Result is bit-identical to sequential greedy NMS; total IoU work is the
+    same single K^2 pass a matrix build would do, with no HBM intermediate.
+    """
+    k = boxes.shape[0]
+    assert k % tile == 0, (k, tile)
+    n_tiles = k // tile
+    row_idx = jnp.arange(k)
+    tri = jnp.arange(tile)
+
+    def tile_fixpoint(cand, overlap_f):
+        def cond(state):
+            keep, prev, it = state
+            return jnp.logical_and(jnp.any(keep != prev), it < tile)
+
+        def body(state):
+            keep, _, it = state
+            suppressed = (keep.astype(jnp.float32) @ overlap_f) > 0.0
+            return cand & ~suppressed, keep, it + 1
+
+        out, _, _ = jax.lax.while_loop(
+            cond, body, (cand, jnp.zeros_like(cand), jnp.int32(0)))
+        return out
+
+    def step(keep, i):
+        start = i * tile
+        tb = jax.lax.dynamic_slice(boxes, (start, 0), (tile, 4))
+        tv = jax.lax.dynamic_slice(valid, (start,), (tile,))
+        iou_kt = pairwise_iou(boxes, tb)                      # (K, tile)
+        hit = iou_kt > iou_threshold
+        prev = keep & (row_idx < start)                       # finalized rows
+        sup_prev = (prev.astype(jnp.float32) @
+                    hit.astype(jnp.float32)) > 0.0
+        cand = tv & ~sup_prev
+        tt = jax.lax.dynamic_slice(hit, (start, 0), (tile, tile))
+        overlap = tt & (tri[:, None] < tri[None, :])
+        overlap &= cand[:, None] & cand[None, :]
+        tile_keep = tile_fixpoint(cand, overlap.astype(jnp.float32))
+        keep = jax.lax.dynamic_update_slice(keep, tile_keep, (start,))
+        return keep, None
+
+    keep0 = jnp.zeros((k,), bool)
+    keep, _ = jax.lax.scan(step, keep0, jnp.arange(n_tiles))
+    return keep
+
+
 def _soft_keep_scores(boxes: jnp.ndarray, scores: jnp.ndarray,
                       valid: jnp.ndarray, iou_threshold: float,
                       sigma: float = 0.5) -> jnp.ndarray:
@@ -135,8 +190,12 @@ def nms_single(
         boxes, scores, classes, obj, keep = (
             boxes[order], scores[order], classes[order], obj[order], keep[order])
     else:
-        keep = _greedy_keep(nms_boxes, valid, iou_threshold,
-                            use_pallas=use_pallas)
+        k = boxes.shape[0]
+        if k % 256 == 0 and k >= 512:
+            keep = _greedy_keep_tiled(nms_boxes, valid, iou_threshold)
+        else:
+            keep = _greedy_keep(nms_boxes, valid, iou_threshold,
+                                use_pallas=use_pallas)
 
     # compact kept detections to the front, cap at max_det
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1

