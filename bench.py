@@ -1,15 +1,19 @@
-"""End-of-round benchmark: YOLOX-M-P6 fused inference throughput at 640px.
+"""End-of-round benchmark: pruned + channel-slimmed YOLOX-M-P6 inference
+throughput at 640px (the reference's competition model class), full
+decode+NMS postprocess included.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Baseline derivation (BASELINE.md): the reference publishes a competition
-latency index (216.52 on A100, batch 16 @832) rather than img/s. The
-BASELINE.json north-star is ">= 2x the reference's A100 images/sec on one
-v5e chip at 640px". We estimate the reference's A100 throughput for the
-dense YOLOX-M-P6 at 640px fp16 batch 32 at ~520 img/s (A100 delivers
-~310 TFLOPs fp16; the 37 GFLOP/img model at ~35%% MXU-equivalent
-efficiency + NMS overhead); vs_baseline = measured / (2 * 520) so 1.0 means
-the 2x target is met. This stands until a measured torch number replaces it.
+Baseline (BASELINE.md "A100 img/s baseline derivation"): the reference's
+competition model on A100 ≈ 520 img/s at 640 — triangulated from published
+YOLOX V100/TRT numbers and deliberately generous to the reference (its
+sparse-storage checkpoint computes at DENSE speed, ref 03_jh_merge.py
+storage trick + main.py:52-55 densify-at-load). The north-star bar is 2x
+that on one v5e chip: vs_baseline = value / 1040.
+
+The pruned model here carries a random 49% channel pattern (architecture-
+level throughput; mAP comes from the training pipeline) slimmed with
+32-channel MXU alignment (compress.slim_channels round_to=32).
 """
 
 import json
@@ -22,6 +26,52 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
+BATCH, SIZE = 16, 640
+STRIDES = (8, 16, 32, 64)
+
+
+def _timeit(fn, x, iters=20):
+    import jax
+
+    jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _build_slim():
+    """Random 49% channel prune -> merge -> 32-aligned slim model."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from cocodet_tpu.compress import merge_for_deployment, slim_channels
+    from cocodet_tpu.models import build_model
+
+    masked = build_model("yolox-p6", depth=0.67, width=0.75, use_mask=True)
+    variables = dict(masked.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    rs = np.random.RandomState(0)
+    masks = dict(flatten_dict(variables["masks"]))
+    for path in list(masks):
+        if path[-2:] != ("mask", "scale"):
+            continue
+        scale = np.asarray(masks[path]).copy()
+        kill = rs.rand(scale.shape[0]) < 0.49
+        if kill.all():
+            kill[0] = False
+        scale[kill] = 0.0
+        masks[path] = jnp.asarray(scale)
+    variables["masks"] = unflatten_dict(masks)
+
+    merged = merge_for_deployment(variables, eps=1e-3)
+    slimmed, spec = slim_channels(merged, variables["masks"], round_to=32)
+    model = build_model("yolox-p6", depth=0.67, width=0.75, fused=True,
+                        slim=spec, dtype=jnp.bfloat16)
+    return model, slimmed
+
 
 def main():
     import jax
@@ -30,43 +80,45 @@ def main():
     from cocodet_tpu.models import build_model
     from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
 
-    batch, size = 16, 640
-    model = build_model("yolox-p6", depth=0.67, width=0.75,
-                        dtype=jnp.bfloat16, fused=True)
-    rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((batch, size, size, 3), jnp.float32)
-    variables = jax.jit(model.init)(rng, x)
-
     cfg = PostprocessConfig(conf_threshold=0.001, nms_threshold=0.55,
                             pre_nms_topk=2048, max_det=300,
-                            use_pallas=True)
-
-    @jax.jit
-    def forward(images):
-        return postprocess(model.apply(variables, images),
-                           (8, 16, 32, 64), cfg)
-
+                            use_pallas=False)
     imgs = jnp.asarray(
-        np.random.RandomState(0).rand(batch, size, size, 3) * 255,
+        np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3) * 255,
         jnp.float32)
 
-    # warmup + compile
-    jax.block_until_ready(forward(imgs))
-    # timed
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(imgs)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    img_s = batch * iters / dt
+    # headline: the pruned + channel-slimmed competition model
+    slim_model, slim_vars = _build_slim()
+    slim_vars = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), slim_vars)
+
+    @jax.jit
+    def slim_fwd(images):
+        return postprocess(slim_model.apply(slim_vars, images), STRIDES, cfg)
+
+    t_slim = _timeit(slim_fwd, imgs)
+    slim_img_s = BATCH / t_slim
+
+    # secondary: dense model (r1-comparable number)
+    dense = build_model("yolox-p6", depth=0.67, width=0.75,
+                        dtype=jnp.bfloat16, fused=True)
+    dense_vars = jax.jit(dense.init)(jax.random.PRNGKey(0), imgs[:1])
+
+    @jax.jit
+    def dense_fwd(images):
+        return postprocess(dense.apply(dense_vars, images), STRIDES, cfg)
+
+    t_dense = _timeit(dense_fwd, imgs)
+    dense_img_s = BATCH / t_dense
 
     baseline_2x = 2 * 520.0
     print(json.dumps({
-        "metric": "yolox_m_p6_fused_infer_640_bs16",
-        "value": round(img_s, 2),
+        "metric": "yolox_m_p6_pruned49_slim32_infer_640_bs16",
+        "value": round(slim_img_s, 2),
         "unit": "img/s",
-        "vs_baseline": round(img_s / baseline_2x, 4),
+        "vs_baseline": round(slim_img_s / baseline_2x, 4),
+        "dense_img_s": round(dense_img_s, 2),
+        "dense_vs_baseline": round(dense_img_s / baseline_2x, 4),
     }))
 
 

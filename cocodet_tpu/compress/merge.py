@@ -59,7 +59,7 @@ def _act_const(act_fn, offset: np.ndarray, removed: np.ndarray) -> np.ndarray:
 
 
 def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
-                  round_to: int = 64
+                  round_to: int = 32
                   ) -> Tuple[Dict, Dict[str, Dict[int, Tuple[Optional[int],
                                                              Optional[int]]]]]:
     """Physically drop ChannelMask-dead channels from a FUSED param tree.
@@ -72,8 +72,9 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
     round_to: surviving-channel counts are rounded UP to this multiple by
     RETAINING that many already-dead channels (their folded kernel slices
     are zero, so outputs are bit-identical) — arbitrary widths like 147
-    waste MXU lanes; 64/128-aligned widths keep the conv tiling dense.
-    Set 1 to disable.
+    waste MXU lanes (round_to=8 measured 39% SLOWER than dense on a
+    v5e; 32 measured fastest: +7% over dense at 49% prune). Set 1 to
+    disable.
     """
 
     def _round_keep(keep: np.ndarray) -> np.ndarray:

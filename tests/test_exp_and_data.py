@@ -145,3 +145,43 @@ def test_image_folder_bucketing(tmp_path):
     assert all(img.shape[0] == 2 for img, _ in batches)  # padded batch dim
     for imgs, infos in batches:
         assert imgs.shape[1] % 64 == 0 and imgs.shape[2] % 64 == 0
+
+
+def test_process_loader_matches_thread_loader(tmp_path):
+    """mode="process" (fork workers) must produce the identical batch stream
+    as mode="thread": per-item seeded RNGs make the augmentation stream
+    independent of the executor."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import make_fake_coco
+
+    import numpy as np
+
+    from cocodet_tpu.data import (DetectionLoader, InfiniteSampler,
+                                  MosaicDetection, TrainTransform,
+                                  YoloBatchSampler)
+    from cocodet_tpu.data.coco import COCODataset
+
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=8)
+
+    def grab(mode, n=3):
+        ds = COCODataset(data_dir=root, json_file="instances_train2017.json",
+                         name="train2017", img_size=(64, 64), preproc=None)
+        mosaic = MosaicDetection(
+            ds, mosaic=True, img_size=(64, 64),
+            preproc=TrainTransform(max_labels=10),
+            mosaic_prob=1.0, enable_mixup=True, mixup_prob=1.0)
+        sampler = InfiniteSampler(len(ds), seed=0)
+        bs = YoloBatchSampler(sampler, 4, mosaic=True)
+        loader = DetectionLoader(mosaic, bs, num_workers=2, seed=0,
+                                 mode=mode)
+        it = iter(loader)
+        out = []
+        for _ in range(n):
+            imgs, labels, _, _ = next(it)
+            out.append((np.asarray(imgs).sum(), np.asarray(labels).sum()))
+        it.close()
+        return out
+
+    assert grab("thread") == grab("process")

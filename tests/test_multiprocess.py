@@ -27,6 +27,8 @@ def test_two_process_allgather():
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(here)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, worker, coordinator, "2", str(pid)],
