@@ -25,11 +25,19 @@ build genuinely narrower convs, so the MXU always sees dense tiles:
     conv1 input; that conv1 is 1x1, so this fold is exact everywhere.
   * depthwise bottlenecks are left unslimmed (grouped-conv slicing changes
     group structure) — only the "custom" 3-scale variant uses them.
+  * decoupled-head stems and cls/reg towers (use_mask heads): producer
+    channels are dropped and their act(offset) constant folded into each
+    consumer's bias (stem -> both tower entries, tower0 -> tower1,
+    tower1 -> pred convs). Exact when offsets are 0 (verified bit-exact in
+    tests); with the Pruner's bias-carrying offsets the same k>1 SAME-pad
+    rim caveat as bottleneck conv1 applies.
 """
 
 from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Tuple
+
+import re
 
 import numpy as np
 
@@ -162,8 +170,52 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
             key = csp_scope[-1]
             spec.setdefault(key, {})[m_idx] = (hid_w, out_w)
 
-    logger.info("slimmed %d hidden + %d inter-bottleneck channels",
-                removed_hidden, removed_out)
+    # ---- decoupled-head tower slimming --------------------------------
+    # producer conv -> its consumer convs (kernel input dim to slice).
+    # stems/towers are ConvBnAct (fused: conv kernel+bias); preds are plain
+    # 1x1 convs. 3x3 consumers share the conv1-path rim caveat (docstring).
+    head_masks = sorted({p[1] for p in mflat
+                         if p[0] == "head" and p[-2:] == ("mask", "scale")})
+    removed_head = 0
+    for name in head_masks:
+        m = re.fullmatch(r"(stem|cls_conv|reg_conv)(\d+)(?:_(\d+))?", name)
+        if not m:
+            continue
+        kind, k_lv, j = m.group(1), m.group(2), m.group(3)
+        if kind == "stem":
+            consumers = [f"cls_conv{k_lv}_0", f"reg_conv{k_lv}_0"]
+        elif j == "0":
+            consumers = [f"{kind}{k_lv}_1"]
+        elif kind == "cls_conv":
+            consumers = [f"cls_pred{k_lv}"]
+        else:
+            consumers = [f"reg_pred{k_lv}", f"obj_pred{k_lv}"]
+
+        scope = ("head", name)
+        keep = _round_keep(
+            np.asarray(mflat[scope + ("mask", "scale")]) > 0.0)
+        if keep.all():
+            spec.setdefault("head", {})[name] = int(keep.size)
+            continue
+        offset = np.asarray(mflat[scope + ("mask", "offset")])
+        const = _act_const(act_fn, offset, ~keep)
+        for cname in consumers:
+            ck = ("head", cname, "conv", "kernel")
+            cb = ("head", cname, "conv", "bias")
+            if ck not in params:  # plain pred conv (no ConvBnAct wrapper)
+                ck = ("head", cname, "kernel")
+                cb = ("head", cname, "bias")
+            wc = np.asarray(params[ck])
+            params[cb] = (np.asarray(params[cb])
+                          + np.einsum("hwio,i->o", wc, const))
+            params[ck] = wc[:, :, keep, :]
+        params[k_of(scope)] = np.asarray(params[k_of(scope)])[..., keep]
+        params[b_of(scope)] = np.asarray(params[b_of(scope)])[keep]
+        removed_head += int((~keep).sum())
+        spec.setdefault("head", {})[name] = int(keep.sum())
+
+    logger.info("slimmed %d hidden + %d inter-bottleneck + %d head channels",
+                removed_hidden, removed_out, removed_head)
     return {"params": unflatten_dict(params)}, spec
 
 
@@ -173,7 +225,8 @@ def load_slim_spec(path: str) -> Dict[str, Dict[int, Tuple]]:
 
     with open(path) as f:
         raw = json.load(f)
-    return {k: {int(i): tuple(v) for i, v in d.items()}
+    return {k: (dict(d) if k == "head"  # head: {conv_name: width}
+                else {int(i): tuple(v) for i, v in d.items()})
             for k, d in raw.items()}
 
 

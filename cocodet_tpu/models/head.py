@@ -40,28 +40,36 @@ class YOLOXHead(nn.Module):
     depthwise: bool = False
     prior_prob: float = 1e-2
     fused: bool = False
+    use_mask: bool = False    # ChannelMask after each stem/tower conv
+    slim: Optional[Any] = None  # {conv_name: out_width} from slim_channels
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+
+    def _w(self, name: str, default: int) -> int:
+        return int((self.slim or {}).get(name, default))
 
     @nn.compact
     def __call__(self, xin: Sequence[Any], train: bool = False):
         assert len(xin) == self.num_levels
         feat = int(256 * self.width)
         kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
-                  axis_name=self.axis_name)
+                  use_mask=self.use_mask, axis_name=self.axis_name)
 
         outputs: List[dict] = []
         for k, x in enumerate(xin):
-            x = ConvBnAct(feat, 1, 1, name=f"stem{k}", **kw)(x, train)
+            x = ConvBnAct(self._w(f"stem{k}", feat), 1, 1,
+                          name=f"stem{k}", **kw)(x, train)
 
             cls_feat = x
             for j in range(2):
-                cls_feat = ConvBnAct(feat, 3, 1, name=f"cls_conv{k}_{j}", **kw)(
-                    cls_feat, train)
+                cls_feat = ConvBnAct(
+                    self._w(f"cls_conv{k}_{j}", feat), 3, 1,
+                    name=f"cls_conv{k}_{j}", **kw)(cls_feat, train)
             reg_feat = x
             for j in range(2):
-                reg_feat = ConvBnAct(feat, 3, 1, name=f"reg_conv{k}_{j}", **kw)(
-                    reg_feat, train)
+                reg_feat = ConvBnAct(
+                    self._w(f"reg_conv{k}_{j}", feat), 3, 1,
+                    name=f"reg_conv{k}_{j}", **kw)(reg_feat, train)
 
             cls_out = Conv2d(self.num_classes, 1, use_bias=True,
                              bias_init=prior_bias_init(self.prior_prob),

@@ -95,10 +95,16 @@ class YOLOPAFPN(nn.Module):
             kernel_size=cfg["kernel_size"],
             depthwise=cfg["depthwise"] or self.depthwise,
             custom=cfg["custom"],
-            use_mask=False,  # FPN convs are not channel-prunable in the reference
-            weight_mask=False,
+            # beyond the reference (which only pruned backbone convs): FPN
+            # CSP bottlenecks are shortcut-free, so their conv1/conv2 are
+            # exactly as prunable/slim-able as the backbone's
+            use_mask=self.use_mask,
+            weight_mask=self.weight_mask,
             **kw,
         )
+
+        def _csp_slim(name):
+            return (self.slim or {}).get(name)
 
         feats = CSPBackbone(
             variant=cfg["backbone"],
@@ -126,7 +132,8 @@ class YOLOPAFPN(nn.Module):
             lat = ConvBnAct(widths[k - 1], 1, 1, name=f"lateral{k}", **kw)(carry, train)
             lats[k] = lat
             merged = jnp.concatenate([upsample2x(lat), xs[k - 1]], axis=-1)
-            carry = csp_cls(widths[k - 1], name=f"td_csp{k}", **csp_kw)(merged, train)
+            carry = csp_cls(widths[k - 1], name=f"td_csp{k}",
+                            slim=_csp_slim(f"td_csp{k}"), **csp_kw)(merged, train)
             td[k - 1] = carry
 
         # bottom-up
@@ -135,7 +142,9 @@ class YOLOPAFPN(nn.Module):
             p = ConvBnAct(widths[k - 1], cfg["down_kernel"], 2,
                           name=f"bu_conv{k}", **kw)(outs[-1], train)
             merged = jnp.concatenate([p, lats[k]], axis=-1)
-            outs.append(csp_cls(widths[k], name=f"bu_csp{k}", **csp_kw)(merged, train))
+            outs.append(csp_cls(widths[k], name=f"bu_csp{k}",
+                                slim=_csp_slim(f"bu_csp{k}"),
+                                **csp_kw)(merged, train))
 
         outs = tuple(outs)
         if return_taps:

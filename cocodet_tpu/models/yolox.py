@@ -109,6 +109,8 @@ class YOLOX(nn.Module):
             act=self.spec.act,
             depthwise=self.spec.depthwise,
             fused=self.fused,
+            use_mask=self.use_mask,
+            slim=(self.slim or {}).get("head"),
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="head",

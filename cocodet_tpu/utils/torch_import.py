@@ -173,3 +173,91 @@ def load_torch_checkpoint(path: str, variant: str = "p6",
     state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     logger.info("importing %d torch tensors from %s", len(state), path)
     return convert_state_dict(state, variant, num_levels)
+
+
+# --------------------------------------------------------------------------
+# reverse direction: flax variables -> reference torch state dict
+# (the "hand the model to another runtime" export — any torch YOLOX runtime,
+# and from there ONNX/TorchScript/TensorRT, can consume the result)
+# --------------------------------------------------------------------------
+
+
+def _inv_pafpn_name(part: str, num_levels: int) -> str:
+    l = num_levels
+    table = {
+        f"lateral{l - 1}": "lateral_conv0",
+        f"lateral{l - 2}": "lateral_conv1",
+        "lateral1": "reduce_conv1",
+        "td_csp3": "C3_p5",
+        "td_csp2": "C3_p4",
+        "td_csp1": "C3_p3",
+        "bu_csp1": "C3_n3",
+        "bu_csp2": "C3_n4",
+        "bu_csp3": "C3_n5",
+        "bu_conv1": "bu_conv2",
+        "bu_conv2": "bu_conv1",
+        "bu_conv3": "bu_conv0",
+    }
+    return table.get(part, part)
+
+
+def map_flax_path(path: Tuple[str, ...], collection: str,
+                  variant: str = "p6", num_levels: int = 4) -> str:
+    """Inverse of map_torch_key: flax (path, collection) -> torch key."""
+    parts = []
+    for comp in path[:-1]:
+        m = re.fullmatch(r"(dark\d)_(down|spp|csp)", comp)
+        if m:
+            stage, kind = m.groups()
+            has_spp = stage in _SPP_STAGES[variant]
+            idx = {"down": 0, "spp": 1,
+                   "csp": 2 if has_spp else 1}[kind]
+            parts.append(f"{stage}.{idx}")
+            continue
+        m = re.fullmatch(r"m(\d+)", comp)
+        if m:
+            parts.append(f"m.{m.group(1)}")
+            continue
+        m = re.fullmatch(r"(cls|reg)_conv(\d+)_(\d+)", comp)
+        if m:
+            t, k, j = m.groups()
+            parts.append(f"{t}_convs.{k}.{j}")
+            continue
+        m = re.fullmatch(r"(cls|reg|obj)_pred(\d+)", comp)
+        if m:
+            parts.append(f"{m.group(1)}_preds.{m.group(2)}")
+            continue
+        m = re.fullmatch(r"stem(\d+)", comp)
+        if m:
+            parts.append(f"stems.{m.group(1)}")
+            continue
+        parts.append(_inv_pafpn_name(comp, num_levels))
+
+    leaf = path[-1]
+    if collection == "batch_stats":
+        parts.append({"mean": "running_mean", "var": "running_var"}[leaf])
+    elif len(path) >= 2 and path[-2] == "bn":
+        parts.append({"scale": "weight", "bias": "bias"}[leaf])
+    else:
+        parts.append({"kernel": "weight", "bias": "bias"}.get(leaf, leaf))
+    return ".".join(parts)
+
+
+def export_state_dict(variables: Dict[str, Any], variant: str = "p6",
+                      num_levels: int = 4) -> Dict[str, Any]:
+    """Flax variables -> a torch state dict in the reference's naming
+    (loadable by ref yolox/models YOLOXCustomP6 etc. with strict=False for
+    num_batches_tracked buffers)."""
+    import torch
+
+    from flax.traverse_util import flatten_dict
+
+    out: Dict[str, Any] = {}
+    for coll in ("params", "batch_stats"):
+        for path, v in flatten_dict(variables.get(coll, {})).items():
+            key = map_flax_path(path, coll, variant, num_levels)
+            arr = np.asarray(v, np.float32)
+            if path[-1] == "kernel" and arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            out[key] = torch.from_numpy(np.ascontiguousarray(arr))
+    return out

@@ -120,4 +120,52 @@ def test_slim_spec_roundtrip(tmp_path, masked_setup):
     loaded = load_slim_spec(str(p))
     assert loaded.keys() == spec.keys()
     for k in spec:
-        assert {i: tuple(v) for i, v in spec[k].items()} == loaded[k]
+        if k == "head":  # head entries are {conv_name: width}
+            assert spec[k] == loaded[k]
+        else:
+            assert {i: tuple(v) for i, v in spec[k].items()} == loaded[k]
+
+
+def test_head_slim_exact_with_zero_offsets():
+    """Head-tower slimming (stems + cls/reg towers -> preds) is bit-exact
+    when mask offsets are zero; spec round-trips through build_model."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from cocodet_tpu.compress import merge_for_deployment, slim_channels
+    from cocodet_tpu.models import build_model
+
+    masked = build_model("yolox-p6", depth=0.33, width=0.125, use_mask=True)
+    variables = dict(masked.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    mflat = dict(flatten_dict(variables["masks"]))
+    rs = np.random.RandomState(3)
+    n_head = 0
+    for path in list(mflat):
+        if path[-2:] != ("mask", "scale") or path[0] != "head":
+            continue
+        scale = np.asarray(mflat[path]).copy()
+        kill = rs.rand(scale.shape[0]) < 0.4
+        if kill.all():
+            kill[0] = False
+        scale[kill] = 0.0
+        mflat[path] = jnp.asarray(scale)
+        n_head += 1
+    assert n_head >= 20, "head masks missing"
+    variables["masks"] = unflatten_dict(mflat)
+
+    merged = merge_for_deployment(variables, eps=1e-3)
+    slimmed, spec = slim_channels(merged, variables["masks"], round_to=8)
+    assert len(spec.get("head", {})) == n_head
+
+    full = build_model("yolox-p6", depth=0.33, width=0.125, fused=True)
+    slim = build_model("yolox-p6", depth=0.33, width=0.125, fused=True,
+                       slim=spec)
+    x = jnp.asarray(rs.rand(2, 64, 64, 3) * 255, np.float32)
+    ref = full.apply(merged, x)
+    got = slim.apply(slimmed, x)
+    for r, g in zip(ref, got):
+        for key in ("reg", "obj", "cls"):
+            np.testing.assert_allclose(np.asarray(r[key]),
+                                       np.asarray(g[key]), atol=1e-5)

@@ -132,3 +132,32 @@ def test_param_tree_complete(ref_modules):
     n_torch = len(sd)
     n_flax = sum(1 for _ in jax.tree_util.tree_leaves(variables))
     assert n_torch == n_flax, (n_torch, n_flax)
+
+
+def test_export_state_dict_roundtrip(ref_modules):
+    """export_state_dict is the exact inverse of convert_state_dict: every
+    reference tensor survives torch -> flax -> torch bit-for-bit (the
+    portable .pth export path, tools/export_torch.py)."""
+    from cocodet_tpu.utils.torch_import import (convert_state_dict,
+                                                export_state_dict)
+
+    YOLOPAFPNCustomP6, YOLOXHeadCustom, YOLOXCustomP6 = ref_modules
+    torch.manual_seed(0)
+    gen = torch.Generator().manual_seed(7)
+    backbone = YOLOPAFPNCustomP6(0.33, 0.25, act="hard_swish",
+                                 in_channels=[256, 512, 768, 1024])
+    head = YOLOXHeadCustom(80, 0.25, in_channels=[256, 512, 768, 1024],
+                           act="hard_swish")
+    model = torch.nn.Module()
+    model.backbone = backbone
+    model.head = head
+    _randomize_bn(model, gen)
+
+    sd = {k: v for k, v in model.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    variables = convert_state_dict(sd, variant="p6", num_levels=4)
+    back = export_state_dict(variables, variant="p6", num_levels=4)
+
+    assert set(back) == set(sd), (set(sd) - set(back), set(back) - set(sd))
+    for k in sd:
+        np.testing.assert_array_equal(back[k].numpy(), sd[k].numpy(), err_msg=k)
