@@ -4,6 +4,9 @@ decode+NMS postprocess included.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
+Batch 32: the slim model's narrower convs need the larger batch to fill
+the MXU (b16 ~1007 img/s, b32 ~1156 on one v5e).
+
 Baseline (BASELINE.md "A100 img/s baseline derivation"): the reference's
 competition model on A100 ≈ 520 img/s at 640 — triangulated from published
 YOLOX V100/TRT numbers and deliberately generous to the reference (its
@@ -26,7 +29,7 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
-BATCH, SIZE = 16, 640
+BATCH, SIZE = 32, 640
 STRIDES = (8, 16, 32, 64)
 
 
@@ -113,7 +116,7 @@ def main():
 
     baseline_2x = 2 * 520.0
     print(json.dumps({
-        "metric": "yolox_m_p6_pruned49_slim32_infer_640_bs16",
+        "metric": "yolox_m_p6_pruned49_slim32_infer_640_bs32",
         "value": round(slim_img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(slim_img_s / baseline_2x, 4),

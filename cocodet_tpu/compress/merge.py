@@ -214,8 +214,108 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
         removed_head += int((~keep).sum())
         spec.setdefault("head", {})[name] = int(keep.sum())
 
-    logger.info("slimmed %d hidden + %d inter-bottleneck + %d head channels",
-                removed_hidden, removed_out, removed_head)
+    # ---- stem / stage-down / FPN lateral / bu_conv slimming ------------
+    # These producers feed csp conv1+conv2 entries (1x1 -> exact folds) or
+    # the next 3x3 down conv (rim caveat). SPP-stage down convs are skipped:
+    # SPP derives its hidden width from its input.
+    def _consumer_fold(cscope, rows, keep, const):
+        ck, cb = k_of(cscope), b_of(cscope)
+        w = np.asarray(params[ck])
+        n_in = w.shape[2]
+        lo, hi = {"all": (0, n_in),
+                  "first": (0, rows[1] if rows != "all" else n_in),
+                  "last": (n_in - (rows[1] if rows != "all" else 0), n_in)
+                  }[rows if rows == "all" else rows[0]]
+        sub = w[:, :, lo:hi, :]
+        params[cb] = (np.asarray(params[cb])
+                      + np.einsum("hwio,i->o", sub, const))
+        params[ck] = np.concatenate(
+            [w[:, :, :lo], sub[:, :, keep, :], w[:, :, hi:]], axis=2)
+
+    removed_stage = 0
+    producer_scopes = []
+    for path in mflat:
+        if path[-2:] != ("mask", "scale"):
+            continue
+        scope = path[:-2]
+        name = scope[-1] if scope[-1] != "conv" else scope[-2]
+        if (re.fullmatch(r"dark\d_down", name)
+                or re.fullmatch(r"(lateral|bu_conv)\d", name)
+                or name == "stem"):
+            producer_scopes.append((scope, name))
+    # capture pre-slim producer widths (consumer row anchoring)
+    full_w = {scope: int(np.asarray(params[k_of(scope)]).shape[-1])
+              for scope, _ in producer_scopes}
+
+    for scope, name in sorted(producer_scopes, key=lambda t: t[1]):
+        pre = scope[:-1] if name != "stem" else scope[:-2]
+        if name == "stem":
+            consumers = [(pre + ("dark2_down",), "all")]
+        elif name.endswith("_down"):
+            stage = name[:-5]
+            if k_of(pre + (f"{stage}_spp", "conv1")) in params:
+                continue  # SPP stage: skip (input-derived hidden width)
+            consumers = [(pre + (f"{stage}_csp", "conv1"), "all"),
+                         (pre + (f"{stage}_csp", "conv2"), "all")]
+        elif name.startswith("lateral"):
+            k_lv = name[len("lateral"):]
+            lw = full_w[scope]
+            consumers = [(pre + (f"td_csp{k_lv}", "conv1"), ("first", lw)),
+                         (pre + (f"td_csp{k_lv}", "conv2"), ("first", lw)),
+                         (pre + (f"bu_csp{k_lv}", "conv1"), ("last", lw)),
+                         (pre + (f"bu_csp{k_lv}", "conv2"), ("last", lw))]
+        else:  # bu_conv{k}
+            k_lv = name[len("bu_conv"):]
+            bw = full_w[scope]
+            consumers = [(pre + (f"bu_csp{k_lv}", "conv1"), ("first", bw)),
+                         (pre + (f"bu_csp{k_lv}", "conv2"), ("first", bw))]
+
+        keep = _round_keep(np.asarray(mflat[scope + ("mask", "scale")]) > 0.0)
+        spec[name] = int(keep.sum())
+        if keep.all():
+            continue
+        offset = np.asarray(mflat[scope + ("mask", "offset")])
+        const = _act_const(act_fn, offset, ~keep)
+        for cscope, rows in consumers:
+            _consumer_fold(cscope, rows, keep, const)
+        params[k_of(scope)] = np.asarray(params[k_of(scope)])[..., keep]
+        params[b_of(scope)] = np.asarray(params[b_of(scope)])[keep]
+        removed_stage += int((~keep).sum())
+
+    # ---- CSP bypass (conv2) slimming: sole consumer is conv3 (1x1), and
+    # the bypass occupies the LAST rows of conv3's concat input -----------
+    for path in list(mflat):
+        if path[-2:] != ("mask", "scale") or path[-3] != "conv2":
+            continue
+        scope = path[:-2]
+        csp_scope = scope[:-1]
+        if csp_scope and re.fullmatch(r"m\d+", csp_scope[-1]):
+            continue  # bottleneck conv2: handled by the m-loop above
+        if k_of(csp_scope + ("conv3",)) not in params:
+            continue
+        keep = _round_keep(np.asarray(mflat[path]) > 0.0)
+        if not keep.all():
+            offset = np.asarray(mflat[scope + ("mask", "offset")])
+            const = _act_const(act_fn, offset, ~keep)
+            _consumer_fold(csp_scope + ("conv3",), ("last", keep.size),
+                           keep, const)
+            params[k_of(scope)] = np.asarray(params[k_of(scope)])[..., keep]
+            params[b_of(scope)] = np.asarray(params[b_of(scope)])[keep]
+            removed_stage += int((~keep).sum())
+
+    # pin every CSP bypass (conv2) width: custom CSPs derive it from the
+    # (possibly slimmed) input width, so the checkpoint value must win
+    for path in list(params):
+        if path[-3:] != ("conv2", "conv", "kernel"):
+            continue
+        csp_scope = path[:-3]
+        if k_of(csp_scope + ("conv3",)) in params:
+            spec.setdefault(csp_scope[-1], {})["c2"] = int(
+                np.asarray(params[path]).shape[-1])
+
+    logger.info(
+        "slimmed %d hidden + %d inter-bottleneck + %d head + %d stage "
+        "channels", removed_hidden, removed_out, removed_head, removed_stage)
     return {"params": unflatten_dict(params)}, spec
 
 
@@ -225,9 +325,18 @@ def load_slim_spec(path: str) -> Dict[str, Dict[int, Tuple]]:
 
     with open(path) as f:
         raw = json.load(f)
-    return {k: (dict(d) if k == "head"  # head: {conv_name: width}
-                else {int(i): tuple(v) for i, v in d.items()})
-            for k, d in raw.items()}
+
+    def _conv(k, d):
+        if isinstance(d, int):  # stem/down/lateral/bu_conv width
+            return d
+        if k == "head":         # head: {conv_name: width}
+            return dict(d)
+        # csp table: int bottleneck keys -> (hid, out); "c2" -> bypass width
+        return {(int(i) if str(i).lstrip("-").isdigit() else i):
+                (tuple(v) if isinstance(v, (list, tuple)) else v)
+                for i, v in d.items()}
+
+    return {k: _conv(k, d) for k, d in raw.items()}
 
 
 def count_effective_params(variables: Dict, masks: Optional[Dict] = None

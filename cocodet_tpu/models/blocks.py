@@ -442,8 +442,11 @@ class CSPLayer(nn.Module):
     fused: bool = False
     use_mask: bool = False
     weight_mask: bool = False
-    # channel-slim overrides: {bottleneck_index: (hidden_width, out_width)},
-    # produced by compress.merge.slim_channels; None entries keep defaults
+    # channel-slim overrides: {bottleneck_index: (hidden_width, out_width),
+    # "c2": bypass_width}, produced by compress.merge.slim_channels; None
+    # entries keep defaults. The explicit "c2" pin matters for custom CSPs
+    # whose bypass width is input-derived (cin - hidden): a slimmed producer
+    # shrinks cin, but the checkpoint's conv2 keeps the original width.
     slim: Optional[Any] = None
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
@@ -456,8 +459,11 @@ class CSPLayer(nn.Module):
                   axis_name=self.axis_name, weight_mask=self.weight_mask)
 
         x0 = ConvBnAct(hidden, 1, 1, name="conv1", **kw)(x, train)
-        c2_features = (cin - hidden) if self.custom else hidden
-        x2 = ConvBnAct(c2_features, 1, 1, name="conv2", **kw)(x, train)
+        c2_features = (self.slim or {}).get(
+            "c2", (cin - hidden) if self.custom else hidden)
+        # the bypass branch feeds only conv3 (1x1): exactly slim-able
+        x2 = ConvBnAct(c2_features, 1, 1, use_mask=self.use_mask,
+                       name="conv2", **kw)(x, train)
 
         x1 = x0
         for i in range(self.n):
@@ -522,6 +528,7 @@ class Focus(nn.Module):
     act: str = "silu"
     order: str = "slice_cat"  # FocusCustom uses "pixel_unshuffle"
     fused: bool = False
+    use_mask: bool = False
     weight_mask: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
@@ -531,6 +538,7 @@ class Focus(nn.Module):
         x = space_to_depth(x, self.order)
         return ConvBnAct(self.features, self.kernel_size, self.stride,
                          act=self.act, fused=self.fused,
+                         use_mask=self.use_mask,
                          weight_mask=self.weight_mask, dtype=self.dtype,
                          axis_name=self.axis_name, name="conv")(x, train)
 

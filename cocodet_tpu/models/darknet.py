@@ -119,15 +119,19 @@ class CSPBackbone(nn.Module):
         base_depth = max(round(self.depth * 3), 1)
         kw = dict(fused=self.fused, dtype=self.dtype, axis_name=self.axis_name)
 
+        slim = self.slim or {}
         outputs: Dict[str, Any] = {}
-        x = Focus(base, kernel_size=3, act=self.act,
+        x = Focus(int(slim.get("stem", base)), kernel_size=3, act=self.act,
                   order=_FOCUS_ORDER[self.variant],
+                  use_mask=self.use_mask,
                   weight_mask=self.weight_mask, name="stem", **kw)(x, train)
         outputs["stem"] = x
 
         for spec in stages:
             feats = base * spec.out_mult
-            x = ConvBnAct(feats, down_k, 2, act=self.act,
+            down_w = int(slim.get(f"{spec.name}_down", feats))
+            x = ConvBnAct(down_w, down_k, 2, act=self.act,
+                          use_mask=self.use_mask,
                           weight_mask=self.weight_mask,
                           name=f"{spec.name}_down", **kw)(x, train)
             if spec.spp:

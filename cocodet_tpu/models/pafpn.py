@@ -106,6 +106,9 @@ class YOLOPAFPN(nn.Module):
         def _csp_slim(name):
             return (self.slim or {}).get(name)
 
+        def _w(name, default):
+            return int((self.slim or {}).get(name, default))
+
         feats = CSPBackbone(
             variant=cfg["backbone"],
             depth=self.depth,
@@ -129,7 +132,9 @@ class YOLOPAFPN(nn.Module):
         td: Dict[int, Any] = {}
         carry = xs[L - 1]
         for k in range(L - 1, 0, -1):
-            lat = ConvBnAct(widths[k - 1], 1, 1, name=f"lateral{k}", **kw)(carry, train)
+            lat = ConvBnAct(_w(f"lateral{k}", widths[k - 1]), 1, 1,
+                            use_mask=self.use_mask,
+                            name=f"lateral{k}", **kw)(carry, train)
             lats[k] = lat
             merged = jnp.concatenate([upsample2x(lat), xs[k - 1]], axis=-1)
             carry = csp_cls(widths[k - 1], name=f"td_csp{k}",
@@ -139,7 +144,8 @@ class YOLOPAFPN(nn.Module):
         # bottom-up
         outs = [carry]
         for k in range(1, L):
-            p = ConvBnAct(widths[k - 1], cfg["down_kernel"], 2,
+            p = ConvBnAct(_w(f"bu_conv{k}", widths[k - 1]),
+                          cfg["down_kernel"], 2, use_mask=self.use_mask,
                           name=f"bu_conv{k}", **kw)(outs[-1], train)
             merged = jnp.concatenate([p, lats[k]], axis=-1)
             outs.append(csp_cls(widths[k], name=f"bu_csp{k}",

@@ -120,10 +120,12 @@ def test_slim_spec_roundtrip(tmp_path, masked_setup):
     loaded = load_slim_spec(str(p))
     assert loaded.keys() == spec.keys()
     for k in spec:
-        if k == "head":  # head entries are {conv_name: width}
+        if isinstance(spec[k], int) or k == "head":
+            # stem/down/lateral/bu_conv widths and head {name: width}
             assert spec[k] == loaded[k]
         else:
-            assert {i: tuple(v) for i, v in spec[k].items()} == loaded[k]
+            assert {i: (tuple(v) if isinstance(v, (list, tuple)) else v)
+                    for i, v in spec[k].items()} == loaded[k]
 
 
 def test_head_slim_exact_with_zero_offsets():
@@ -143,7 +145,7 @@ def test_head_slim_exact_with_zero_offsets():
     rs = np.random.RandomState(3)
     n_head = 0
     for path in list(mflat):
-        if path[-2:] != ("mask", "scale") or path[0] != "head":
+        if path[-2:] != ("mask", "scale"):
             continue
         scale = np.asarray(mflat[path]).copy()
         kill = rs.rand(scale.shape[0]) < 0.4
@@ -151,13 +153,18 @@ def test_head_slim_exact_with_zero_offsets():
             kill[0] = False
         scale[kill] = 0.0
         mflat[path] = jnp.asarray(scale)
-        n_head += 1
+        if path[0] == "head":
+            n_head += 1
     assert n_head >= 20, "head masks missing"
     variables["masks"] = unflatten_dict(mflat)
 
     merged = merge_for_deployment(variables, eps=1e-3)
     slimmed, spec = slim_channels(merged, variables["masks"], round_to=8)
     assert len(spec.get("head", {})) == n_head
+    # stage producers slimmed too (stem/downs/laterals/bu_convs)
+    assert isinstance(spec.get("stem"), int)
+    assert isinstance(spec.get("dark3_down"), int)
+    assert isinstance(spec.get("lateral1"), int)
 
     full = build_model("yolox-p6", depth=0.33, width=0.125, fused=True)
     slim = build_model("yolox-p6", depth=0.33, width=0.125, fused=True,
