@@ -119,8 +119,15 @@ def test_masks_collection():
     x = jnp.zeros((1, 64, 64, 3))
     vars_ = model.init(jax.random.PRNGKey(0), x)
     assert "masks" in vars_
-    mask_leaves = jax.tree_util.tree_leaves(vars_["masks"])
-    assert all(bool(jnp.all(m == 1.0)) for m in mask_leaves[:3])
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(vars_["masks"])
+    assert flat, "no masks created"
+    for path, m in flat.items():
+        if path[-1] in ("scale", "conv_mask"):
+            assert bool(jnp.all(m == 1.0)), path   # pass-through at init
+        elif path[-1] == "offset":
+            assert bool(jnp.all(m == 0.0)), path   # no constant injected
 
 
 @pytest.mark.slow

@@ -136,6 +136,11 @@ def video_demo(predictor, args):
 
 def main():
     args = make_parser().parse_args()
+    if os.environ.get("COCODET_FORCE_CPU"):
+        # CI/headless hook: keep the demo off the (single-client) TPU tunnel
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from cocodet_tpu.exp import get_exp
 
     exp = get_exp(args.exp_file, args.name)
