@@ -23,6 +23,9 @@ def make_parser():
     p.add_argument("--conf", type=float, default=None)
     p.add_argument("--nms", type=float, default=None)
     p.add_argument("--tsize", type=int, default=None)
+    p.add_argument("--slim-spec", default=None,
+                   help="channel-slim spec json (compress_pipeline --slim "
+                        "output); evaluates the genuinely narrower model")
     p.add_argument("--fuse", action="store_true",
                    help="fold BN into conv weights before eval")
     p.add_argument("--speed", action="store_true",
@@ -51,7 +54,17 @@ def main():
     if args.tsize is not None:
         exp.test_size = (args.tsize, args.tsize)
 
-    model = exp.get_model(fused=args.fuse)
+    if args.slim_spec:
+        from cocodet_tpu.compress import load_slim_spec
+        from cocodet_tpu.models import build_model
+
+        spec = load_slim_spec(args.slim_spec)
+        model = build_model(exp.model_name, num_classes=exp.num_classes,
+                            depth=exp.depth, width=exp.width, fused=True,
+                            slim=spec)
+        logger.info("channel-slim spec: %d entries", len(spec))
+    else:
+        model = exp.get_model(fused=args.fuse)
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, *exp.test_size, 3), jnp.float32)
 
