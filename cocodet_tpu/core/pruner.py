@@ -78,6 +78,7 @@ def make_distill_train_step(model, teacher_model, optimizer, strides,
                                    opt_state=new_opt, step=state.step + 1)
         metrics = {"loss": det.total, "iou_loss": det.iou,
                    "obj_loss": det.obj, "cls_loss": det.cls,
+                   "l1_loss": det.l1,  # 0 until the no-aug phase
                    "dis_loss": dis["dis_loss"],
                    "dis_backbone_loss": dis["dis_backbone_loss"],
                    "dis_fpn_loss": dis["dis_fpn_loss"]}
