@@ -86,6 +86,9 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
     """
 
     def _round_keep(keep: np.ndarray) -> np.ndarray:
+        if not keep.any():  # defensive: a conv must keep >= 1 channel
+            keep = keep.copy()
+            keep[0] = True
         if round_to <= 1:
             return keep
         kept = int(keep.sum())
@@ -219,9 +222,25 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
     # the next 3x3 down conv (rim caveat). SPP-stage down convs are skipped:
     # SPP derives its hidden width from its input.
     def _consumer_fold(cscope, rows, keep, const):
+        """Fold the removed-channel constant into one consumer and slice the
+        producer's rows out of its input dim. rows: "all" | ("first", n) |
+        ("last", n) | ("blocks", n) — the producer occupies n repeated
+        blocks spanning the whole input (SPP's [x, pool5, pool9, pool13])."""
         ck, cb = k_of(cscope), b_of(cscope)
         w = np.asarray(params[ck])
         n_in = w.shape[2]
+        if rows != "all" and rows[0] == "blocks":
+            n_blocks = rows[1]
+            bw = n_in // n_blocks
+            bias = np.asarray(params[cb])
+            parts = []
+            for bi in range(n_blocks):
+                sub = w[:, :, bi * bw:(bi + 1) * bw, :]
+                bias = bias + np.einsum("hwio,i->o", sub, const)
+                parts.append(sub[:, :, keep, :])
+            params[cb] = bias
+            params[ck] = np.concatenate(parts, axis=2)
+            return
         lo, hi = {"all": (0, n_in),
                   "first": (0, rows[1] if rows != "all" else n_in),
                   "last": (n_in - (rows[1] if rows != "all" else 0), n_in)
@@ -243,6 +262,9 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
                 or re.fullmatch(r"(lateral|bu_conv)\d", name)
                 or name == "stem"):
             producer_scopes.append((scope, name))
+        elif (len(scope) >= 2 and scope[-2].endswith("_spp")
+              and name in ("conv1", "conv2")):
+            producer_scopes.append((scope, f"spp_{name}"))
     # capture pre-slim producer widths (consumer row anchoring)
     full_w = {scope: int(np.asarray(params[k_of(scope)]).shape[-1])
               for scope, _ in producer_scopes}
@@ -254,9 +276,21 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
         elif name.endswith("_down"):
             stage = name[:-5]
             if k_of(pre + (f"{stage}_spp", "conv1")) in params:
-                continue  # SPP stage: skip (input-derived hidden width)
-            consumers = [(pre + (f"{stage}_csp", "conv1"), "all"),
-                         (pre + (f"{stage}_csp", "conv2"), "all")]
+                # SPP stage: the down conv feeds the SPP entry conv (1x1);
+                # the input-derived hidden width gets pinned below
+                consumers = [(pre + (f"{stage}_spp", "conv1"), "all")]
+            else:
+                consumers = [(pre + (f"{stage}_csp", "conv1"), "all"),
+                             (pre + (f"{stage}_csp", "conv2"), "all")]
+        elif name == "spp_conv1":
+            # conv1's output appears 4x in conv2's concat input
+            spp_scope = scope[:-1]
+            consumers = [(spp_scope + ("conv2",), ("blocks", 4))]
+        elif name == "spp_conv2":
+            spp_scope = scope[:-1]
+            stage = spp_scope[-1][:-4]  # "dark6_spp" -> "dark6"
+            consumers = [(spp_scope[:-1] + (f"{stage}_csp", "conv1"), "all"),
+                         (spp_scope[:-1] + (f"{stage}_csp", "conv2"), "all")]
         elif name.startswith("lateral"):
             k_lv = name[len("lateral"):]
             lw = full_w[scope]
@@ -271,7 +305,8 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
                          (pre + (f"bu_csp{k_lv}", "conv2"), ("first", bw))]
 
         keep = _round_keep(np.asarray(mflat[scope + ("mask", "scale")]) > 0.0)
-        spec[name] = int(keep.sum())
+        if not name.startswith("spp_"):  # spp widths recorded as pins below
+            spec[name] = int(keep.sum())
         if keep.all():
             continue
         offset = np.asarray(mflat[scope + ("mask", "offset")])
@@ -312,6 +347,13 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
         if k_of(csp_scope + ("conv3",)) in params:
             spec.setdefault(csp_scope[-1], {})["c2"] = int(
                 np.asarray(params[path]).shape[-1])
+        elif csp_scope[-1].endswith("_spp"):
+            # SPP width pins (hidden is input-derived in the module)
+            spec[csp_scope[-1]] = {
+                "hidden": int(np.asarray(
+                    params[k_of(csp_scope + ("conv1",))]).shape[-1]),
+                "out": int(np.asarray(params[path]).shape[-1]),
+            }
 
     logger.info(
         "slimmed %d hidden + %d inter-bottleneck + %d head + %d stage "

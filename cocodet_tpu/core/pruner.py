@@ -143,6 +143,12 @@ def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
     for scope, imp in importance.items():
         scale = np.asarray(masks[scope + ("mask", "scale")])
         imp = np.where(scale <= 0.0, np.inf, np.asarray(imp))
+        # protect the best alive channel of each site: a conv must never
+        # reach zero width (downstream consumers and the slim model would
+        # be ill-formed) — mirrors the floor real channel pruners enforce
+        alive = np.isfinite(imp)
+        if alive.any():
+            imp[int(np.nanargmax(np.where(alive, imp, -np.inf)))] = np.inf
         for c in range(imp.shape[0]):
             flat_scores.append(imp[c])
             index.append((scope, c))

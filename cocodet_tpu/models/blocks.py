@@ -403,20 +403,28 @@ class SPPBottleneck(nn.Module):
     kernel_sizes: Sequence[int] = (5, 9, 13)
     act: str = "silu"
     fused: bool = False
+    use_mask: bool = False
     weight_mask: bool = False
+    # channel-slim pins: hidden defaults to cin // 2 (input-derived, so a
+    # slimmed producer needs the checkpoint value pinned); out to features
+    hidden_width: Optional[int] = None
+    out_width: Optional[int] = None
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
-        hidden = cin // 2
+        hidden = (self.hidden_width if self.hidden_width is not None
+                  else cin // 2)
+        out = self.out_width if self.out_width is not None else self.features
         kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
-                  axis_name=self.axis_name, weight_mask=self.weight_mask)
+                  use_mask=self.use_mask, axis_name=self.axis_name,
+                  weight_mask=self.weight_mask)
         x = ConvBnAct(hidden, 1, 1, name="conv1", **kw)(x, train)
         xs = [x] + [max_pool_same(x, k) for k in self.kernel_sizes]
         x = jnp.concatenate(xs, axis=-1)
-        x = ConvBnAct(self.features, 1, 1, name="conv2", **kw)(x, train)
+        x = ConvBnAct(out, 1, 1, name="conv2", **kw)(x, train)
         return x
 
 

@@ -135,8 +135,12 @@ class CSPBackbone(nn.Module):
                           weight_mask=self.weight_mask,
                           name=f"{spec.name}_down", **kw)(x, train)
             if spec.spp:
+                spp_slim = slim.get(f"{spec.name}_spp") or {}
                 x = SPPBottleneck(feats, act=self.act,
+                                  use_mask=self.use_mask,
                                   weight_mask=self.weight_mask,
+                                  hidden_width=spp_slim.get("hidden"),
+                                  out_width=spp_slim.get("out"),
                                   name=f"{spec.name}_spp", **kw)(x, train)
             x = csp_cls(
                 feats,

@@ -39,7 +39,7 @@ class Args:
     start_epoch = None
 
 
-def _tiny_overrides(exp, data_dir, max_epoch=1):
+def _tiny_overrides(exp, data_dir, max_epoch=1, lr=None):
     exp.depth = 0.33
     exp.width = 0.125
     exp.data_dir = data_dir
@@ -55,10 +55,16 @@ def _tiny_overrides(exp, data_dir, max_epoch=1):
     exp.enable_mixup = False
     exp.compute_dtype = "float32"
     exp.seed = 0
+    if lr is not None:
+        exp.basic_lr_per_img = lr
+        exp.warmup_epochs = 0
+        exp.scheduler = "yoloxwarmcos"
+    exp.test_conf = 0.01
     return exp
 
 
-def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8):
+def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
+                 tiny_epochs=1):
     from cocodet_tpu.exp import get_exp
     from cocodet_tpu.utils.logger import logger
 
@@ -72,7 +78,9 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8):
         exp.output_dir = out_dir
         exp.exp_name = name
         if tiny:
-            _tiny_overrides(exp, data_dir)
+            # lr 2e-4/img overfits the 8-image synthetic set in a few
+            # dozen steps, enough for a nonzero self-eval mAP
+            _tiny_overrides(exp, data_dir, max_epoch=tiny_epochs, lr=2e-4)
         else:
             exp.data_dir = data_dir
         return exp
@@ -106,6 +114,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8):
         exp3.prune_channels = 8
         exp3.prune_interval = 1.0
         exp3.prune_score_batches = 1
+        exp3.max_epoch = min(tiny_epochs, 10)  # bound total channels removed
     p = Pruner(exp3, args)
     p.train()
     prune_ckpt = os.path.join(out_dir, "pipe_prune", "latest_ckpt.msgpack")
@@ -196,6 +205,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="synthetic-data CPU smoke of the whole chain")
     ap.add_argument("-b", "--batch-size", type=int, default=8)
+    ap.add_argument("--tiny-epochs", type=int, default=1,
+                    help="epochs per stage in --tiny mode")
     args = ap.parse_args()
 
     data_dir = args.data_dir
@@ -213,7 +224,7 @@ def main():
                                       n_images=8)
     assert data_dir, "--data-dir required unless --tiny"
     run_pipeline(data_dir, args.out, tiny=args.tiny,
-                 batch_size=args.batch_size)
+                 batch_size=args.batch_size, tiny_epochs=args.tiny_epochs)
 
 
 if __name__ == "__main__":
