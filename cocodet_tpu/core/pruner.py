@@ -131,31 +131,66 @@ def channel_importance(variables: Dict, grads: Dict) -> Dict[Tuple, jnp.ndarray]
 
 
 def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
-                        prune_channels: int) -> Tuple[Dict, int]:
+                        prune_channels: int, site_floor: int = 1,
+                        max_frac: float = 1.0,
+                        normalize: Optional[str] = None) -> Tuple[Dict, int]:
     """Globally sort channel importances (already-pruned = +inf) and mask
     the lowest ``prune_channels`` (ref pruner.py:362-448 +
-    network_blocks.py:97-104). Returns (new variables, newly pruned count)."""
+    network_blocks.py:97-104). Returns (new variables, newly pruned count).
+
+    Beyond the reference's raw global sort:
+      * ``site_floor`` — minimum alive channels a site may keep (the
+        reference can prune a conv to zero width, which crashes the slim
+        model; 1 mirrors round-1 behavior, 8+ keeps MXU-friendly widths);
+      * ``max_frac`` — cap on the fraction of a site's channels that may
+        ever be pruned (protects narrow bottlenecks from a few
+        high-gradient head towers dominating the global ranking);
+      * ``normalize="mean"`` — divide each site's scores by the site's
+        alive-mean so the global ranking is scale-free across depths
+        (gradient magnitudes differ systematically between FPN levels).
+    """
     params = flatten_dict(variables["params"])
     masks = dict(flatten_dict(variables["masks"]))
 
     flat_scores = []
     index = []  # (scope, channel)
+    budget: Dict[Tuple, int] = {}  # per-site remaining prunable channels
     for scope, imp in importance.items():
         scale = np.asarray(masks[scope + ("mask", "scale")])
-        imp = np.where(scale <= 0.0, np.inf, np.asarray(imp))
-        # protect the best alive channel of each site: a conv must never
-        # reach zero width (downstream consumers and the slim model would
-        # be ill-formed) — mirrors the floor real channel pruners enforce
+        imp = np.asarray(imp, np.float64)
+        alive_mask = scale > 0.0
+        if normalize == "mean" and alive_mask.any():
+            imp = imp / (imp[alive_mask].mean() + 1e-12)
+        imp = np.where(~alive_mask, np.inf, imp)
+        # protect the ``site_floor`` best alive channels of each site: a
+        # conv must never reach zero width (downstream consumers and the
+        # slim model would be ill-formed)
         alive = np.isfinite(imp)
-        if alive.any():
-            imp[int(np.nanargmax(np.where(alive, imp, -np.inf)))] = np.inf
+        n_alive = int(alive.sum())
+        floor = max(min(site_floor, n_alive), 1)
+        if n_alive:
+            top = np.argsort(np.where(alive, imp, -np.inf))[-floor:]
+            imp[top] = np.inf
+        total = scale.shape[0]
+        already = total - n_alive
+        budget[scope] = max(int(max_frac * total) - already, 0)
         for c in range(imp.shape[0]):
             flat_scores.append(imp[c])
             index.append((scope, c))
     flat_scores = np.asarray(flat_scores)
     order = np.argsort(flat_scores, kind="stable")
-    to_prune = [index[i] for i in order[:prune_channels]
-                if np.isfinite(flat_scores[i])]
+
+    to_prune = []
+    for i in order:
+        if len(to_prune) >= prune_channels:
+            break
+        if not np.isfinite(flat_scores[i]):
+            continue
+        scope, c = index[i]
+        if budget[scope] <= 0:
+            continue
+        budget[scope] -= 1
+        to_prune.append((scope, c))
 
     by_scope: Dict[Tuple, list] = {}
     for scope, c in to_prune:
@@ -201,6 +236,9 @@ class Pruner(Trainer):
         self.prune_channels = getattr(exp, "prune_channels", 64)
         self.prune_start_epoch = getattr(exp, "prune_start_epoch", 0)
         self.score_batches = getattr(exp, "prune_score_batches", 8)
+        self.prune_site_floor = getattr(exp, "prune_site_floor", 1)
+        self.prune_max_frac = getattr(exp, "prune_max_frac", 1.0)
+        self.prune_normalize = getattr(exp, "prune_normalize", None)
 
     def before_train(self):
         exp = self.exp
@@ -287,7 +325,9 @@ class Pruner(Trainer):
             acc = imp if acc is None else {
                 k: acc[k] + imp[k] for k in imp}
         new_vars, n_new = apply_channel_prune(
-            self._variables(), acc, self.prune_channels)
+            self._variables(), acc, self.prune_channels,
+            site_floor=self.prune_site_floor, max_frac=self.prune_max_frac,
+            normalize=self.prune_normalize)
         self.masks = new_vars["masks"]
         stats = mask_stats(new_vars)
         kept = sum(k for k, _ in stats.values())

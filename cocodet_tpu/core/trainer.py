@@ -71,7 +71,17 @@ class Trainer:
         batch_size = self.args.batch_size
         logger.info("exp value:\n%s", exp)
 
-        self.model = exp.get_model()
+        # Mask-aware model build: if the init checkpoint carries a pruned
+        # ``masks`` collection (Pruner output), the fine-tune model must be
+        # built with ChannelMask layers and the masks held fixed — the
+        # reference's tune.py resumes the masked model from the prune ckpt
+        # (ref yolox/core/tuner.py:197-210 + network_blocks.py:27-41).
+        init_ckpt = getattr(exp, "init_ckpt", None)
+        self._init_tree = load_checkpoint(init_ckpt) if init_ckpt else None
+        ckpt_model = (self._init_tree or {}).get("model", self._init_tree)
+        ckpt_masks = (ckpt_model or {}).get("masks") or None
+        use_mask = bool(getattr(exp, "use_mask", False) or ckpt_masks)
+        self.model = exp.get_model(use_mask=use_mask)
         self.optimizer_tx = None  # built after iters_per_epoch known
 
         self.train_loader = exp.get_data_loader(
@@ -97,7 +107,9 @@ class Trainer:
         rng = jax.random.PRNGKey(exp.seed or 0)
         sample = jnp.zeros((1, *exp.input_size, 3), jnp.float32)
         init_vars = None
-        init_ckpt = getattr(exp, "init_ckpt", None)
+        if use_mask:
+            init_vars = self.model.init(rng, sample, train=False)
+            self.masks = init_vars.get("masks", {})
         self.state = create_train_state(
             self.model, self.optimizer_tx, rng, sample,
             use_ema=exp.ema, init_vars=init_vars)
@@ -159,7 +171,8 @@ class Trainer:
                 logger.info("training over a %d-device data mesh", use)
 
     def _load_init_ckpt(self, path: str):
-        ckpt = load_checkpoint(path)
+        ckpt = (self._init_tree if getattr(self, "_init_tree", None)
+                is not None else load_checkpoint(path))
         model_vars = ckpt.get("model", ckpt)
         self.state = self.state._replace(
             params=load_matched(self.state.params, model_vars.get(
@@ -167,6 +180,8 @@ class Trainer:
             batch_stats=load_matched(
                 self.state.batch_stats, model_vars.get("batch_stats", {})),
         )
+        if getattr(self, "masks", None) and model_vars.get("masks"):
+            self.masks = load_matched(self.masks, model_vars["masks"])
         logger.info("loaded init checkpoint %s", path)
 
     # ------------------------------------------------------------------
@@ -240,9 +255,13 @@ class Trainer:
 
     def eval_variables(self) -> Dict[str, Any]:
         if self.state.ema is not None:
-            return self.state.ema.shadow
-        return {"params": self.state.params,
-                "batch_stats": self.state.batch_stats}
+            out = dict(self.state.ema.shadow)
+        else:
+            out = {"params": self.state.params,
+                   "batch_stats": self.state.batch_stats}
+        if getattr(self, "masks", None):
+            out["masks"] = self.masks
+        return out
 
     def evaluate_and_save_model(self):
         ap, ap50, summary = self.evaluator.evaluate(

@@ -31,9 +31,15 @@ class Tuner(Trainer):
         super().before_train()
         if self.distill_coefficient > 0:
             exp = self.exp
-            self.teacher_model = exp.get_model()
+            # teacher = the init checkpoint (ref tuner.py:197-210); when the
+            # init ckpt is a pruned model, the teacher mirrors the masked
+            # student so it computes the same function the ckpt describes
+            masks = getattr(self, "masks", None)
+            self.teacher_model = exp.get_model(use_mask=bool(masks))
             self.teacher_vars = {"params": self.state.params,
                                  "batch_stats": self.state.batch_stats}
+            if masks:
+                self.teacher_vars["masks"] = masks
             self.distill_step = make_distill_train_step(
                 self.model, self.teacher_model, self.optimizer_tx,
                 strides=exp.strides, num_classes=exp.num_classes,
@@ -49,7 +55,8 @@ class Tuner(Trainer):
         for it in range(self.iters_per_epoch):
             imgs, labels, _, _ = self.data_iter.next()
             self.state, metrics = self.distill_step(
-                self.state, self.teacher_vars, {}, imgs, labels,
+                self.state, self.teacher_vars,
+                getattr(self, "masks", None) or {}, imgs, labels,
                 use_l1=self.use_l1,
                 step_optimizer=self.epoch >= self.tune_start_epoch)
             if (it + 1) % exp.print_interval == 0:

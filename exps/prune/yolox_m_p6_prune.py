@@ -26,4 +26,9 @@ class Exp(CustomP6Exp):
         self.prune_start_epoch = 0
         self.prune_score_batches = 8
 
+        # ranking-quality knobs (beyond the reference's raw global sort):
+        self.prune_site_floor = 8         # min alive channels per conv site
+        self.prune_max_frac = 0.75        # cap pruned fraction per site
+        self.prune_normalize = "mean"     # scale-free cross-site ranking
+
         self.eval_interval = 1

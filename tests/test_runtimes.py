@@ -117,6 +117,51 @@ def test_pruner_scoring_and_surgery():
     assert moved == 8
 
 
+def test_prune_site_floor_and_caps():
+    """site_floor / max_frac / normalize knobs bound per-site pruning."""
+    import jax.numpy as jnp
+
+    from cocodet_tpu.core.pruner import apply_channel_prune, mask_stats
+
+    # two sites: a (4 ch, tiny scores) and b (8 ch, big scores) — raw global
+    # sort would wipe out site a entirely
+    def mk(n):
+        return {"mask": {"scale": jnp.ones((n,)), "offset": jnp.zeros((n,))}}
+
+    variables = {
+        "params": {"a": {"bn": {"scale": jnp.ones(4), "bias": jnp.zeros(4)}},
+                   "b": {"bn": {"scale": jnp.ones(8), "bias": jnp.zeros(8)}}},
+        "masks": {"a": mk(4), "b": mk(8)},
+    }
+    imp = {("a",): np.asarray([1., 2., 3., 4.]) * 1e-6,
+           ("b",): np.asarray([1., 2., 3., 4., 5., 6., 7., 8.])}
+
+    # floor=2: site a keeps >= 2 channels no matter the budget
+    out, n = apply_channel_prune(variables, imp, prune_channels=100,
+                                 site_floor=2)
+    stats = mask_stats(out)
+    assert stats["a"][0] >= 2 and stats["b"][0] >= 2
+    assert n == (4 - stats["a"][0]) + (8 - stats["b"][0])
+
+    # max_frac=0.5: at most half of each site may ever be pruned
+    out, _ = apply_channel_prune(variables, imp, prune_channels=100,
+                                 max_frac=0.5)
+    stats = mask_stats(out)
+    assert stats["a"][0] >= 2 and stats["b"][0] >= 4
+
+    # mean-normalize: scores become comparable across sites, so pruning 2
+    # channels takes the relatively-worst of EACH site, not both from a
+    out, _ = apply_channel_prune(variables, imp, prune_channels=2,
+                                 normalize="mean")
+    stats = mask_stats(out)
+    assert stats["a"][0] == 3 and stats["b"][0] == 7
+
+    # raw sort (reference behavior): both pruned channels come from site a
+    out, _ = apply_channel_prune(variables, imp, prune_channels=2)
+    stats = mask_stats(out)
+    assert stats["a"][0] == 2 and stats["b"][0] == 8
+
+
 def test_synflow_schedule():
     from cocodet_tpu.core.trainer_synflow import (make_synflow_score_step,
                                                   synflow_update_masks)

@@ -32,6 +32,49 @@ def test_tuner_distill_epoch(coco_root, tmp_path):
     assert t.meter["dis_loss"].latest >= 0.0
 
 
+def test_tuner_resumes_pruned_masks(coco_root, tmp_path):
+    """The recovery fine-tune must rebuild the MASKED model and hold the
+    pruned channels fixed (ref yolox/core/tuner.py:197-210: tune resumes the
+    masked model from the prune checkpoint)."""
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from cocodet_tpu.core.tuner import Tuner
+    from cocodet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    exp = TinyExp(coco_root)
+    exp.output_dir = str(tmp_path)
+    model = exp.get_model(use_mask=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    masks = dict(flatten_dict(variables["masks"]))
+    # prune a couple of channels in the first mask site
+    key = next(k for k in masks if k[-2:] == ("mask", "scale"))
+    scale = np.asarray(masks[key]).copy()
+    scale[:2] = 0.0
+    masks[key] = jnp.asarray(scale)
+    ckpt = {"model": {"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {}),
+                      "masks": unflatten_dict(masks)}}
+    save_checkpoint(ckpt, False, str(tmp_path), "pruned")
+
+    exp2 = TinyExp(coco_root)
+    exp2.output_dir = str(tmp_path)
+    exp2.init_ckpt = os.path.join(str(tmp_path), "pruned_ckpt.msgpack")
+    exp2.distill_coefficient = 1.0
+    exp2.ema = False
+    t = Tuner(exp2, Args())
+    t.train()
+    # the pruned channels survived the tune epoch untouched
+    got = np.asarray(flatten_dict(t.masks)[key])
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2:].all()
+    # and the saved checkpoint carries the masks forward for compression
+    saved = load_checkpoint(os.path.join(t.file_name,
+                                         "latest_ckpt.msgpack"))
+    assert "masks" in saved["model"]
+    assert np.isfinite(t.meter["loss"].latest)
+
+
 def test_synflow_trainer_epoch(coco_root, tmp_path):
     from flax.traverse_util import flatten_dict
 

@@ -31,12 +31,25 @@ def make_parser():
     p.add_argument("--speed", action="store_true",
                    help="latency benchmark only (no mAP)")
     p.add_argument("--test", action="store_true", help="test-dev set")
+    # multi-host (ref tools/eval.py:40-60 --num_machines/--machine_rank/
+    # --dist-url): one jax process per host, detections allgathered over DCN
+    p.add_argument("--dist-coordinator", default=None,
+                   help="host:port of process 0 (jax.distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p
 
 
 def main():
     args = make_parser().parse_args()
+
+    if args.num_processes and args.num_processes > 1:
+        # must run before any jax device query
+        from cocodet_tpu.parallel import initialize_distributed
+
+        initialize_distributed(args.dist_coordinator, args.num_processes,
+                               args.process_id)
 
     import jax
     import jax.numpy as jnp

@@ -63,8 +63,31 @@ def _tiny_overrides(exp, data_dir, max_epoch=1, lr=None):
     return exp
 
 
+def _synth_overrides(exp, data_dir, size=256, max_epoch=20, lr=2.5e-4,
+                     workers=2):
+    """Small-but-real settings for the rich synthetic-shapes dataset: the
+    full recipe (mosaic, EMA, no-aug tail, eval) at reduced scale so the
+    whole chain runs on one chip in under an hour."""
+    exp.depth = 0.33
+    exp.width = 0.25
+    exp.data_dir = data_dir
+    exp.input_size = exp.test_size = (size, size)
+    exp.multiscale_range = 0  # one program per stage (TPU compile budget)
+    exp.max_epoch = max_epoch
+    exp.warmup_epochs = 1
+    exp.no_aug_epochs = max(max_epoch // 5, 1)
+    exp.eval_interval = 10 ** 6  # stage-level eval below instead
+    exp.print_interval = 20
+    exp.data_num_workers = workers
+    exp.basic_lr_per_img = lr
+    exp.scheduler = "yoloxwarmcos"
+    exp.seed = 0
+    exp.test_conf = 0.01
+    return exp
+
+
 def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
-                 tiny_epochs=1):
+                 tiny_epochs=1, synth_epochs=0, synth_size=256):
     from cocodet_tpu.exp import get_exp
     from cocodet_tpu.utils.logger import logger
 
@@ -72,8 +95,9 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     args = Args()
     args.batch_size = batch_size
     results = {}
+    synth = synth_epochs > 0
 
-    def stage_exp(exp_file, name):
+    def stage_exp(exp_file, name, epoch_scale=1.0):
         exp = get_exp(exp_file=os.path.join(REPO, exp_file))
         exp.output_dir = out_dir
         exp.exp_name = name
@@ -81,9 +105,24 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
             # lr 2e-4/img overfits the 8-image synthetic set in a few
             # dozen steps, enough for a nonzero self-eval mAP
             _tiny_overrides(exp, data_dir, max_epoch=tiny_epochs, lr=2e-4)
+        elif synth:
+            _synth_overrides(exp, data_dir, size=synth_size,
+                             max_epoch=max(int(synth_epochs * epoch_scale), 1))
         else:
             exp.data_dir = data_dir
         return exp
+
+    def stage_eval(runtime, exp, tag):
+        """Record the stage's val AP50 (the mAP trajectory the reference
+        reports per phase, ref README.md:57-78)."""
+        try:
+            ap, ap50, summary = runtime.evaluator.evaluate(
+                exp, runtime.eval_variables(), model=runtime.model)
+            results[f"{tag}_AP50"] = round(float(ap50), 4)
+            results[f"{tag}_AP"] = round(float(ap), 4)
+            logger.info("stage %s eval: AP50=%.4f AP=%.4f", tag, ap50, ap)
+        except Exception as e:  # trajectory is best-effort in --tiny
+            logger.warning("stage %s eval failed: %s", tag, e)
 
     # ---- phase 1: scratch training at 768 --------------------------------
     from cocodet_tpu.core.trainer import Trainer
@@ -94,6 +133,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     t1.train()
     phase1_ckpt = os.path.join(out_dir, "pipe_phase1", "latest_ckpt.msgpack")
     results["phase1_loss"] = float(t1.meter["loss"].latest)
+    stage_eval(t1, exp1, "phase1")
 
     # ---- phase 2: 896 GIoU fine-tune (ref exps/p6/yolox_m_p6_tune.py) ----
     logger.info("=== pipeline stage 2/6: phase-2 fine-tune ===")
@@ -103,40 +143,53 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     t2.train()
     phase2_ckpt = os.path.join(out_dir, "pipe_phase2", "latest_ckpt.msgpack")
     results["phase2_loss"] = float(t2.meter["loss"].latest)
+    stage_eval(t2, exp2, "phase2")
 
     # ---- stage 3: Taylor channel pruning w/ teacher distill --------------
     from cocodet_tpu.core import Pruner
 
     logger.info("=== pipeline stage 3/6: channel pruning ===")
-    exp3 = stage_exp("exps/prune/yolox_m_p6_prune.py", "pipe_prune")
+    exp3 = stage_exp("exps/prune/yolox_m_p6_prune.py", "pipe_prune",
+                     epoch_scale=0.5)
     exp3.init_ckpt = phase2_ckpt
     if tiny:
         exp3.prune_channels = 8
         exp3.prune_interval = 1.0
         exp3.prune_score_batches = 1
         exp3.max_epoch = min(tiny_epochs, 10)  # bound total channels removed
+    elif synth:
+        exp3.prune_interval = 0.5
+        exp3.prune_score_batches = 2
+        exp3.prune_channels = getattr(exp3, "prune_channels", 64)
     p = Pruner(exp3, args)
     p.train()
     prune_ckpt = os.path.join(out_dir, "pipe_prune", "latest_ckpt.msgpack")
     results["prune_loss"] = float(p.meter["loss"].latest)
+    stage_eval(p, exp3, "prune")
 
     # ---- stage 4: post-prune recovery tune (distill) ---------------------
+    # init = the PRUNED checkpoint (masks restored and held fixed; the
+    # Trainer auto-builds a masked model when the ckpt carries masks) —
+    # the reference's tune.py resumes the masked model the same way.
     from cocodet_tpu.core import Tuner
 
     logger.info("=== pipeline stage 4/6: recovery fine-tune ===")
-    exp4 = stage_exp("exps/tune/yolox_m_p6_tune_distill.py", "pipe_tune")
-    exp4.init_ckpt = phase2_ckpt  # teacher = unpruned phase-2 model
+    exp4 = stage_exp("exps/tune/yolox_m_p6_tune_distill.py", "pipe_tune",
+                     epoch_scale=0.5)
+    exp4.init_ckpt = prune_ckpt
     t4 = Tuner(exp4, args)
     t4.train()
+    tune_ckpt = os.path.join(out_dir, "pipe_tune", "latest_ckpt.msgpack")
     results["tune_loss"] = float(t4.meter["loss"].latest)
+    stage_eval(t4, exp4, "tune")
 
     # ---- stage 5: offline compression + channel slim ---------------------
     from cocodet_tpu.compress import merge_for_deployment, slim_channels
     from cocodet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     logger.info("=== pipeline stage 5/6: compress + slim ===")
-    ckpt = load_checkpoint(prune_ckpt)
-    pruned_vars = ckpt["model"]  # Pruner.eval_variables includes masks
+    ckpt = load_checkpoint(tune_ckpt)  # tuned PRUNED model, masks included
+    pruned_vars = ckpt["model"]
     merged = merge_for_deployment(pruned_vars, eps=1e-3)
     save_checkpoint({"model": merged}, False, out_dir, "pipe_merged")
     slim_spec = None
@@ -148,6 +201,20 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
         with open(slim_spec, "w") as f:
             json.dump(spec, f)
         results["slim_layers"] = len(spec)
+        # compression accounting (ref 01_mask_generator.py:40-44,
+        # 03_jh_merge.py:35-41 param-count printing)
+        import math
+
+        import jax as _jax
+
+        def _count(tree):
+            return sum(math.prod(p.shape)
+                       for p in _jax.tree_util.tree_leaves(tree))
+
+        results["params_dense"] = _count(merged.get("params", merged))
+        results["params_slim"] = _count(slimmed.get("params", slimmed))
+        results["param_ratio"] = round(
+            results["params_slim"] / max(results["params_dense"], 1), 4)
 
     # ---- stage 6: submission-harness self-eval ---------------------------
     logger.info("=== pipeline stage 6/6: harness self-eval ===")
@@ -155,7 +222,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     import importlib
 
     hmain = importlib.import_module("main")
-    img_size = 64 if tiny else 896
+    img_size = 64 if tiny else (synth_size if synth else 896)
     cfg = {
         "model": {"type": "yolox-p6",
                   "depth": exp1.depth, "width": exp1.width},
@@ -207,24 +274,41 @@ def main():
     ap.add_argument("-b", "--batch-size", type=int, default=8)
     ap.add_argument("--tiny-epochs", type=int, default=1,
                     help="epochs per stage in --tiny mode")
+    ap.add_argument("--synth", action="store_true",
+                    help="rich multi-class synthetic-shapes run: the full "
+                         "recipe at reduced scale with a real mAP "
+                         "trajectory (runs on the TPU if available)")
+    ap.add_argument("--synth-epochs", type=int, default=20)
+    ap.add_argument("--synth-size", type=int, default=256)
+    ap.add_argument("--synth-images", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the 8-device virtual CPU mesh")
     args = ap.parse_args()
 
     data_dir = args.data_dir
-    if args.tiny:
+    if args.tiny or args.cpu:
         os.environ.setdefault("XLA_FLAGS",
                               "--xla_force_host_platform_device_count=8")
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        if data_dir is None:
-            sys.path.insert(0, os.path.join(REPO, "tests"))
-            from synthetic import make_fake_coco
+    if args.tiny and data_dir is None:
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from synthetic import make_fake_coco
 
-            data_dir = make_fake_coco("/tmp/cocodet_pipeline_coco",
-                                      n_images=8)
-    assert data_dir, "--data-dir required unless --tiny"
+        data_dir = make_fake_coco("/tmp/cocodet_pipeline_coco", n_images=8)
+    if args.synth and data_dir is None:
+        from cocodet_tpu.data.synthetic import make_synthetic_coco
+
+        data_dir = make_synthetic_coco(
+            "/tmp/cocodet_synth_coco", n_train=args.synth_images,
+            n_val=max(args.synth_images // 4, 16),
+            size_range=(args.synth_size, args.synth_size * 2))
+    assert data_dir, "--data-dir required unless --tiny/--synth"
     run_pipeline(data_dir, args.out, tiny=args.tiny,
-                 batch_size=args.batch_size, tiny_epochs=args.tiny_epochs)
+                 batch_size=args.batch_size, tiny_epochs=args.tiny_epochs,
+                 synth_epochs=args.synth_epochs if args.synth else 0,
+                 synth_size=args.synth_size)
 
 
 if __name__ == "__main__":
