@@ -53,6 +53,7 @@ class Trainer:
         self.epoch = 0
         self.start_epoch = 0
         self.use_l1 = False
+        self.tblogger = None  # set in before_train (Trainer only)
 
     # ------------------------------------------------------------------
     def train(self):

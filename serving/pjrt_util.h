@@ -1,0 +1,209 @@
+// Shared PJRT C-API boilerplate for the native serving binaries
+// (pjrt_runner.cc one-shot benchmark, pjrt_server.cc batching server).
+//
+// Role parity: the engine-handling half of ref demo/TensorRT/cpp/yolox.cpp
+// (deserialize + context setup) — on TPU this is plugin load, client
+// creation, StableHLO compile.
+
+#ifndef COCODET_SERVING_PJRT_UTIL_H_
+#define COCODET_SERVING_PJRT_UTIL_H_
+
+#include <dlfcn.h>
+#include <unistd.h>
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <string>
+#include <vector>
+
+#include "tensorflow/compiler/xla/pjrt/c/pjrt_c_api.h"
+
+namespace pjrt_util {
+
+inline const PJRT_Api*& Api() {
+  static const PJRT_Api* api = nullptr;
+  return api;
+}
+
+inline std::string ReadFile(const char* path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) {
+    std::fprintf(stderr, "cannot read %s\n", path);
+    std::exit(1);
+  }
+  return std::string((std::istreambuf_iterator<char>(f)),
+                     std::istreambuf_iterator<char>());
+}
+
+inline void Check(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return;
+  PJRT_Error_Message_Args margs;
+  std::memset(&margs, 0, sizeof(margs));
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.error = err;
+  Api()->PJRT_Error_Message(&margs);
+  std::fprintf(stderr, "%s failed: %.*s\n", what,
+               static_cast<int>(margs.message_size), margs.message);
+  PJRT_Error_Destroy_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.error = err;
+  Api()->PJRT_Error_Destroy(&dargs);
+  std::exit(1);
+}
+
+inline void AwaitEvent(PJRT_Event* event, const char* what) {
+  if (event == nullptr) return;
+  PJRT_Event_Await_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  args.event = event;
+  Check(Api()->PJRT_Event_Await(&args), what);
+  PJRT_Event_Destroy_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  dargs.event = event;
+  Api()->PJRT_Event_Destroy(&dargs);
+}
+
+inline void LoadPlugin(const char* plugin_path) {
+  void* handle = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
+  if (!handle) {
+    std::fprintf(stderr, "dlopen(%s): %s\n", plugin_path, dlerror());
+    std::exit(1);
+  }
+  using GetPjrtApiFn = const PJRT_Api* (*)();
+  auto get_api = reinterpret_cast<GetPjrtApiFn>(dlsym(handle, "GetPjrtApi"));
+  if (!get_api) {
+    std::fprintf(stderr, "GetPjrtApi not found: %s\n", dlerror());
+    std::exit(1);
+  }
+  Api() = get_api();
+  std::printf("PJRT api version %d.%d\n",
+              Api()->pjrt_api_version.major_version,
+              Api()->pjrt_api_version.minor_version);
+
+  PJRT_Plugin_Initialize_Args init_args;
+  std::memset(&init_args, 0, sizeof(init_args));
+  init_args.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+  Check(Api()->PJRT_Plugin_Initialize(&init_args), "Plugin_Initialize");
+}
+
+// Option set mirroring the python-side registration for the axon plugin's
+// pool/remote-compile mode (axon.register.pjrt): topology, session_id,
+// remote_compile, rank sentinel. Harmless extras are ignored by plugins
+// that don't know them (stock libtpu among them).
+inline PJRT_Client* CreateClient(const char* session_prefix) {
+  auto str_opt = [](const char* name, const char* value) {
+    PJRT_NamedValue v;
+    std::memset(&v, 0, sizeof(v));
+    v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    v.name = name;
+    v.name_size = std::strlen(name);
+    v.type = PJRT_NamedValue_kString;
+    v.string_value = value;
+    v.value_size = std::strlen(value);
+    return v;
+  };
+  auto int_opt = [](const char* name, int64_t value) {
+    PJRT_NamedValue v;
+    std::memset(&v, 0, sizeof(v));
+    v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    v.name = name;
+    v.name_size = std::strlen(name);
+    v.type = PJRT_NamedValue_kInt64;
+    v.int64_value = value;
+    v.value_size = 1;
+    return v;
+  };
+  static char session_id[64];
+  std::snprintf(session_id, sizeof(session_id), "%s-%d", session_prefix,
+                static_cast<int>(getpid()));
+  std::vector<PJRT_NamedValue> opts_v = {
+      int_opt("remote_compile", 1),
+      int_opt("local_only", 0),
+      int_opt("priority", 0),
+      str_opt("topology", "v5e:1x1x1"),
+      int_opt("n_slices", 1),
+      str_opt("session_id", session_id),
+      int_opt("rank", static_cast<int64_t>(0xFFFFFFFFll)),
+  };
+
+  PJRT_Client_Create_Args cargs;
+  std::memset(&cargs, 0, sizeof(cargs));
+  cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = opts_v.data();
+  cargs.num_options = opts_v.size();
+  Check(Api()->PJRT_Client_Create(&cargs), "Client_Create");
+
+  PJRT_Client_PlatformName_Args pargs;
+  std::memset(&pargs, 0, sizeof(pargs));
+  pargs.struct_size = PJRT_Client_PlatformName_Args_STRUCT_SIZE;
+  pargs.client = cargs.client;
+  Check(Api()->PJRT_Client_PlatformName(&pargs), "PlatformName");
+  std::printf("platform: %.*s\n", static_cast<int>(pargs.platform_name_size),
+              pargs.platform_name);
+  return cargs.client;
+}
+
+inline PJRT_Device* FirstDevice(PJRT_Client* client) {
+  PJRT_Client_AddressableDevices_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  dargs.client = client;
+  Check(Api()->PJRT_Client_AddressableDevices(&dargs), "AddressableDevices");
+  std::printf("%zu addressable device(s)\n", dargs.num_addressable_devices);
+  return dargs.addressable_devices[0];
+}
+
+inline PJRT_LoadedExecutable* Compile(PJRT_Client* client,
+                                      const std::string& program,
+                                      const std::string& compile_options) {
+  PJRT_Program prog;
+  std::memset(&prog, 0, sizeof(prog));
+  prog.struct_size = PJRT_Program_STRUCT_SIZE;
+  prog.code = const_cast<char*>(program.data());
+  prog.code_size = program.size();
+  static const char kFormat[] = "mlir";
+  prog.format = kFormat;
+  prog.format_size = sizeof(kFormat) - 1;
+
+  PJRT_Client_Compile_Args comp;
+  std::memset(&comp, 0, sizeof(comp));
+  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  comp.client = client;
+  comp.program = &prog;
+  comp.compile_options = compile_options.data();
+  comp.compile_options_size = compile_options.size();
+  Check(Api()->PJRT_Client_Compile(&comp), "Client_Compile");
+  return comp.executable;
+}
+
+inline size_t NumOutputs(PJRT_LoadedExecutable* exec) {
+  PJRT_LoadedExecutable_GetExecutable_Args ge;
+  std::memset(&ge, 0, sizeof(ge));
+  ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  ge.loaded_executable = exec;
+  Check(Api()->PJRT_LoadedExecutable_GetExecutable(&ge), "GetExecutable");
+  PJRT_Executable_NumOutputs_Args noargs;
+  std::memset(&noargs, 0, sizeof(noargs));
+  noargs.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  noargs.executable = ge.executable;
+  Check(Api()->PJRT_Executable_NumOutputs(&noargs), "NumOutputs");
+  return noargs.num_outputs;
+}
+
+inline void DestroyBuffer(PJRT_Buffer* b) {
+  if (!b) return;
+  PJRT_Buffer_Destroy_Args bd;
+  std::memset(&bd, 0, sizeof(bd));
+  bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  bd.buffer = b;
+  Check(Api()->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy");
+}
+
+}  // namespace pjrt_util
+
+#endif  // COCODET_SERVING_PJRT_UTIL_H_
