@@ -42,10 +42,14 @@ from .trainer import Trainer
 
 def make_distill_train_step(model, teacher_model, optimizer, strides,
                             num_classes=80, iou_type="iou",
-                            distill_coefficient=1.0, freeze_optimizer=False):
+                            distill_coefficient=1.0, freeze_optimizer=False,
+                            ema_decay=0.9998, use_ema=True):
     """Train step with detection + distillation loss (ref pruner.py:118-173,
     tuner.py:123-146). ``freeze_optimizer`` supports the reference's
-    prune_start_epoch gating (optimizer steps suppressed, pruner.py:140-155)."""
+    prune_start_epoch gating (optimizer steps suppressed, pruner.py:140-155).
+    EMA is updated when the state carries one (the Tuner runs with EMA on;
+    the Pruner forces it off, ref pruner.py:52)."""
+    from ..utils.ema import ema_update
 
     @functools.partial(jax.jit, static_argnames=("use_l1", "step_optimizer"))
     def train_step(state: TrainState, teacher_vars, masks, images, labels,
@@ -74,8 +78,15 @@ def make_distill_train_step(model, teacher_model, optimizer, strides,
             new_params = optax.apply_updates(state.params, updates)
         else:
             new_opt, new_params = state.opt_state, state.params
+        new_ema = state.ema
+        if use_ema and state.ema is not None:
+            new_ema = ema_update(
+                state.ema,
+                {"params": new_params, "batch_stats": new_stats},
+                decay=ema_decay)
         new_state = state._replace(params=new_params, batch_stats=new_stats,
-                                   opt_state=new_opt, step=state.step + 1)
+                                   opt_state=new_opt, ema=new_ema,
+                                   step=state.step + 1)
         metrics = {"loss": det.total, "iou_loss": det.iou,
                    "obj_loss": det.obj, "cls_loss": det.cls,
                    "l1_loss": det.l1,  # 0 until the no-aug phase

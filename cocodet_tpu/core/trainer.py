@@ -183,6 +183,16 @@ class Trainer:
         )
         if getattr(self, "masks", None) and model_vars.get("masks"):
             self.masks = load_matched(self.masks, model_vars["masks"])
+        # re-seed the EMA shadow from the init weights: eval_variables and
+        # save_ckpt read the shadow, which otherwise reflects the random
+        # init until the decay ramp catches up (same rationale as the
+        # resume path below; ref ema.py seeds ModelEMA from the live model)
+        if self.state.ema is not None:
+            from ..utils.ema import ema_init
+
+            self.state = self.state._replace(ema=ema_init(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats}))
         logger.info("loaded init checkpoint %s", path)
 
     # ------------------------------------------------------------------

@@ -44,7 +44,8 @@ class Tuner(Trainer):
                 self.model, self.teacher_model, self.optimizer_tx,
                 strides=exp.strides, num_classes=exp.num_classes,
                 iou_type=exp.iou_type,
-                distill_coefficient=self.distill_coefficient)
+                distill_coefficient=self.distill_coefficient,
+                ema_decay=exp.ema_momentum, use_ema=exp.ema)
             logger.info("Tuner: distillation on (coef=%.3g)",
                         self.distill_coefficient)
 

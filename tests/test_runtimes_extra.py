@@ -62,12 +62,21 @@ def test_tuner_resumes_pruned_masks(coco_root, tmp_path):
     exp2.output_dir = str(tmp_path)
     exp2.init_ckpt = os.path.join(str(tmp_path), "pruned_ckpt.msgpack")
     exp2.distill_coefficient = 1.0
-    exp2.ema = False
+    exp2.ema = True  # the EMA shadow is what eval/save read — cover it
     t = Tuner(exp2, Args())
     t.train()
     # the pruned channels survived the tune epoch untouched
     got = np.asarray(flatten_dict(t.masks)[key])
     assert got[0] == 0.0 and got[1] == 0.0 and got[2:].all()
+    # the EMA shadow was (a) re-seeded from the init ckpt, not the random
+    # init, and (b) updated by the distill train step: after an epoch at
+    # the ramped decay it must track the live params tightly
+    assert int(t.state.ema.updates) == t.iters_per_epoch
+    shadow = flatten_dict(t.state.ema.shadow["params"])
+    live = flatten_dict(t.state.params)
+    for k2 in list(live)[:5]:
+        np.testing.assert_allclose(np.asarray(shadow[k2]),
+                                   np.asarray(live[k2]), atol=1e-2)
     # and the saved checkpoint carries the masks forward for compression
     saved = load_checkpoint(os.path.join(t.file_name,
                                          "latest_ckpt.msgpack"))

@@ -97,7 +97,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     results = {}
     synth = synth_epochs > 0
 
-    def stage_exp(exp_file, name, epoch_scale=1.0):
+    def stage_exp(exp_file, name, epoch_scale=1.0, lr_scale=1.0):
         exp = get_exp(exp_file=os.path.join(REPO, exp_file))
         exp.output_dir = out_dir
         exp.exp_name = name
@@ -106,8 +106,11 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
             # dozen steps, enough for a nonzero self-eval mAP
             _tiny_overrides(exp, data_dir, max_epoch=tiny_epochs, lr=2e-4)
         elif synth:
+            # lr_scale mirrors the reference recipes: prune/tune run at
+            # lr/10 of the training phases (ref exps/prune, exps/tune)
             _synth_overrides(exp, data_dir, size=synth_size,
-                             max_epoch=max(int(synth_epochs * epoch_scale), 1))
+                             max_epoch=max(int(synth_epochs * epoch_scale), 1),
+                             lr=2.5e-4 * lr_scale)
         else:
             exp.data_dir = data_dir
         return exp
@@ -150,7 +153,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
 
     logger.info("=== pipeline stage 3/6: channel pruning ===")
     exp3 = stage_exp("exps/prune/yolox_m_p6_prune.py", "pipe_prune",
-                     epoch_scale=0.5)
+                     epoch_scale=0.5, lr_scale=0.1)
     exp3.init_ckpt = phase2_ckpt
     if tiny:
         exp3.prune_channels = 8
@@ -175,7 +178,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
 
     logger.info("=== pipeline stage 4/6: recovery fine-tune ===")
     exp4 = stage_exp("exps/tune/yolox_m_p6_tune_distill.py", "pipe_tune",
-                     epoch_scale=0.5)
+                     epoch_scale=0.5, lr_scale=0.1)
     exp4.init_ckpt = prune_ckpt
     t4 = Tuner(exp4, args)
     t4.train()
