@@ -53,20 +53,32 @@ def _build_slim():
     from cocodet_tpu.compress import merge_for_deployment, slim_channels
     from cocodet_tpu.models import build_model
 
+    from cocodet_tpu.core.pruner import find_residual_groups
+
     masked = build_model("yolox-p6", depth=0.67, width=0.75, use_mask=True)
     variables = dict(masked.init(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 64, 64, 3), jnp.float32)))
     rs = np.random.RandomState(0)
     masks = dict(flatten_dict(variables["masks"]))
-    for path in list(masks):
-        if path[-2:] != ("mask", "scale"):
+    params = flatten_dict(variables["params"])
+    scopes = [p[:-2] for p in masks if p[-2:] == ("mask", "scale")]
+    groups = find_residual_groups(scopes, params)
+    member_of = {m: lead for lead, ms in groups.items() for m in ms}
+    kills = {}
+    for scope in scopes:
+        if scope in member_of:
             continue
-        scale = np.asarray(masks[path]).copy()
+        scale = np.asarray(masks[scope + ("mask", "scale")])
         kill = rs.rand(scale.shape[0]) < 0.49
         if kill.all():
             kill[0] = False
+        # residual groups die TIED (the Pruner's joint surgery)
+        for site in (scope,) + groups.get(scope, ()):
+            kills[site] = kill
+    for site, kill in kills.items():
+        scale = np.asarray(masks[site + ("mask", "scale")]).copy()
         scale[kill] = 0.0
-        masks[path] = jnp.asarray(scale)
+        masks[site + ("mask", "scale")] = jnp.asarray(scale)
     variables["masks"] = unflatten_dict(masks)
 
     merged = merge_for_deployment(variables, eps=1e-3)

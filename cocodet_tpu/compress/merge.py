@@ -23,6 +23,13 @@ build genuinely narrower convs, so the MXU always sees dense tiles:
   * bottleneck conv2 (prunable when shortcut-free and not last): dead
     output channels are dropped from conv2 and from the NEXT bottleneck's
     conv1 input; that conv1 is 1x1, so this fold is exact everywhere.
+  * residual streams (csp conv1 + every residual bottleneck conv2, tied
+    masks): removed jointly when dead at ALL sites; the constant the dead
+    channel accumulates along the chain is folded into each bottleneck
+    conv1 bias and conv3's first concat rows — all 1x1 consumers, so this
+    fold is exact even with bias-carrying offsets. Spec pin: "res".
+  * the LAST bottleneck's conv2 in non-residual chains: consumer is the
+    CSP conv3 (1x1, first concat rows) — exact.
   * depthwise bottlenecks are left unslimmed (grouped-conv slicing changes
     group structure) — only the "custom" 3-scale variant uses them.
   * decoupled-head stems and cls/reg towers (use_mask heads): producer
@@ -123,6 +130,45 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
     def b_of(scope):
         return scope + ("conv", "bias")
 
+    def _consumer_fold(cscope, rows, keep, const):
+        """Fold the removed-channel constant into one consumer and slice the
+        producer's rows out of its input dim. rows: "all" | ("first", n) |
+        ("last", n) | ("blocks", n) — the producer occupies n repeated
+        blocks spanning the whole input (SPP's [x, pool5, pool9, pool13])."""
+        ck, cb = k_of(cscope), b_of(cscope)
+        w = np.asarray(params[ck])
+        n_in = w.shape[2]
+        if rows != "all" and rows[0] == "blocks":
+            n_blocks = rows[1]
+            bw = n_in // n_blocks
+            bias = np.asarray(params[cb])
+            parts = []
+            for bi in range(n_blocks):
+                sub = w[:, :, bi * bw:(bi + 1) * bw, :]
+                bias = bias + np.einsum("hwio,i->o", sub, const)
+                parts.append(sub[:, :, keep, :])
+            params[cb] = bias
+            params[ck] = np.concatenate(parts, axis=2)
+            return
+        lo, hi = {"all": (0, n_in),
+                  "first": (0, rows[1] if rows != "all" else n_in),
+                  "last": (n_in - (rows[1] if rows != "all" else 0), n_in)
+                  }[rows if rows == "all" else rows[0]]
+        sub = w[:, :, lo:hi, :]
+        params[cb] = (np.asarray(params[cb])
+                      + np.einsum("hwio,i->o", sub, const))
+        params[ck] = np.concatenate(
+            [w[:, :, :lo], sub[:, :, keep, :], w[:, :, hi:]], axis=2)
+
+    # residual CSP chains: conv1 carries a (group-leader) mask, tied to the
+    # bottleneck conv2 masks; those conv2s are NOT chain-slimmable below
+    residual_csps = set()
+    for path in mflat:
+        if path[-2:] == ("mask", "scale") and path[-3] == "conv1":
+            csp = path[:-3]
+            if k_of(csp + ("m0", "conv1")) in params:
+                residual_csps.add(csp)
+
     for b_scope in sorted(by_bottleneck):
         convs = by_bottleneck[b_scope]
         csp_scope = b_scope[:-1]
@@ -149,12 +195,16 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
                 removed_hidden += int((~keep).sum())
             hid_w = int(keep.sum())
 
-        # ---- conv2 output slimming (consumer = next bottleneck conv1) ----
-        if "conv2" in convs:
+        # ---- conv2 output slimming (consumer = next bottleneck conv1,
+        # or the CSP conv3's first concat rows for the LAST bottleneck).
+        # Residual-chain conv2 masks are group members (handled below):
+        # the chain fold is invalid there because the shortcut add keeps
+        # the channel live even when conv2's contribution is constant.
+        if "conv2" in convs and csp_scope not in residual_csps:
+            scale = np.asarray(mflat[c2 + ("mask", "scale")])
+            keep = _round_keep(scale > 0.0)
             nxt = csp_scope + (f"m{m_idx + 1}", "conv1")
             if k_of(nxt) in params:
-                scale = np.asarray(mflat[c2 + ("mask", "scale")])
-                keep = _round_keep(scale > 0.0)
                 if not keep.all():
                     offset = np.asarray(mflat[c2 + ("mask", "offset")])
                     const = _act_const(act_fn, offset, ~keep)
@@ -166,12 +216,72 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
                     params[k_of(nxt)] = wn[:, :, keep, :]
                     removed_out += int((~keep).sum())
                 out_w = int(keep.sum())
+            elif k_of(csp_scope + ("conv3",)) in params:
+                # last bottleneck: its output is the x1 stream = the FIRST
+                # rows of conv3's concat input (conv3 is 1x1 -> exact fold)
+                if not keep.all():
+                    offset = np.asarray(mflat[c2 + ("mask", "offset")])
+                    const = _act_const(act_fn, offset, ~keep)
+                    _consumer_fold(csp_scope + ("conv3",),
+                                   ("first", keep.size), keep, const)
+                    params[k_of(c2)] = np.asarray(params[k_of(c2)])[..., keep]
+                    params[b_of(c2)] = np.asarray(params[b_of(c2)])[keep]
+                    removed_out += int((~keep).sum())
+                out_w = int(keep.sum())
 
         if hid_w is not None or out_w is not None:
             # spec key: csp module name relative to the backbone
             # (e.g. ("backbone", "backbone", "dark3_csp") -> "dark3_csp")
             key = csp_scope[-1]
             spec.setdefault(key, {})[m_idx] = (hid_w, out_w)
+
+    # ---- residual-stream (group) slimming ------------------------------
+    # A channel of the residual stream (csp conv1 out + every bottleneck
+    # conv2 out, pre-add) is removable only when dead at ALL tied sites
+    # (Pruner prunes the group jointly; intersection taken defensively).
+    # The removed channel carries a CONSTANT along the chain:
+    #   s0[d] = act(off_conv1[d]);  s_{i+1}[d] = s_i[d] + act(off_conv2_i[d])
+    # folded into each bottleneck conv1 bias and conv3's first concat rows.
+    # Every stream consumer is a 1x1 conv, so the fold is exact even with
+    # bias-carrying offsets (no SAME-pad rim).
+    removed_res = 0
+    for csp_scope in sorted(residual_csps):
+        leader = csp_scope + ("conv1",)
+        dead = np.asarray(mflat[leader + ("mask", "scale")]) == 0.0
+        m_scopes = []
+        i = 0
+        while k_of(csp_scope + (f"m{i}", "conv1")) in params:
+            m_scopes.append(csp_scope + (f"m{i}",))
+            i += 1
+        for ms in m_scopes:
+            sc = mflat.get(ms + ("conv2", "mask", "scale"))
+            if sc is None:  # untied member -> nothing removable
+                dead = np.zeros_like(dead)
+                break
+            dead &= np.asarray(sc) == 0.0
+        keep = _round_keep(~dead)
+        # pin the stream width (equals the default when nothing removed)
+        spec.setdefault(csp_scope[-1], {})["res"] = int(keep.sum())
+        if keep.all():
+            continue
+        rm = ~keep
+        const = _act_const(
+            act_fn, np.asarray(mflat[leader + ("mask", "offset")]), rm)
+        for ms in m_scopes:
+            c1, c2 = ms + ("conv1",), ms + ("conv2",)
+            w1 = np.asarray(params[k_of(c1)])  # 1x1: fold is exact
+            params[b_of(c1)] = (np.asarray(params[b_of(c1)])
+                                + np.einsum("hwio,i->o", w1, const))
+            params[k_of(c1)] = w1[:, :, keep, :]
+            const = const + _act_const(
+                act_fn, np.asarray(mflat[c2 + ("mask", "offset")]), rm)
+            params[k_of(c2)] = np.asarray(params[k_of(c2)])[..., keep]
+            params[b_of(c2)] = np.asarray(params[b_of(c2)])[keep]
+        _consumer_fold(csp_scope + ("conv3",), ("first", keep.size),
+                       keep, const)
+        params[k_of(leader)] = np.asarray(params[k_of(leader)])[..., keep]
+        params[b_of(leader)] = np.asarray(params[b_of(leader)])[keep]
+        removed_res += int(rm.sum()) * (1 + len(m_scopes))
 
     # ---- decoupled-head tower slimming --------------------------------
     # producer conv -> its consumer convs (kernel input dim to slice).
@@ -221,36 +331,6 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
     # These producers feed csp conv1+conv2 entries (1x1 -> exact folds) or
     # the next 3x3 down conv (rim caveat). SPP-stage down convs are skipped:
     # SPP derives its hidden width from its input.
-    def _consumer_fold(cscope, rows, keep, const):
-        """Fold the removed-channel constant into one consumer and slice the
-        producer's rows out of its input dim. rows: "all" | ("first", n) |
-        ("last", n) | ("blocks", n) — the producer occupies n repeated
-        blocks spanning the whole input (SPP's [x, pool5, pool9, pool13])."""
-        ck, cb = k_of(cscope), b_of(cscope)
-        w = np.asarray(params[ck])
-        n_in = w.shape[2]
-        if rows != "all" and rows[0] == "blocks":
-            n_blocks = rows[1]
-            bw = n_in // n_blocks
-            bias = np.asarray(params[cb])
-            parts = []
-            for bi in range(n_blocks):
-                sub = w[:, :, bi * bw:(bi + 1) * bw, :]
-                bias = bias + np.einsum("hwio,i->o", sub, const)
-                parts.append(sub[:, :, keep, :])
-            params[cb] = bias
-            params[ck] = np.concatenate(parts, axis=2)
-            return
-        lo, hi = {"all": (0, n_in),
-                  "first": (0, rows[1] if rows != "all" else n_in),
-                  "last": (n_in - (rows[1] if rows != "all" else 0), n_in)
-                  }[rows if rows == "all" else rows[0]]
-        sub = w[:, :, lo:hi, :]
-        params[cb] = (np.asarray(params[cb])
-                      + np.einsum("hwio,i->o", sub, const))
-        params[ck] = np.concatenate(
-            [w[:, :, :lo], sub[:, :, keep, :], w[:, :, hi:]], axis=2)
-
     removed_stage = 0
     producer_scopes = []
     for path in mflat:
@@ -357,7 +437,8 @@ def slim_channels(fused_variables: Dict, masks: Dict, act: str = "hard_swish",
 
     logger.info(
         "slimmed %d hidden + %d inter-bottleneck + %d head + %d stage "
-        "channels", removed_hidden, removed_out, removed_head, removed_stage)
+        "+ %d residual-stream channels", removed_hidden, removed_out,
+        removed_head, removed_stage, removed_res)
     return {"params": unflatten_dict(params)}, spec
 
 

@@ -141,6 +141,36 @@ def channel_importance(variables: Dict, grads: Dict) -> Dict[Tuple, jnp.ndarray]
     return out
 
 
+def find_residual_groups(scopes, params: Dict[Tuple, Any]
+                         ) -> Dict[Tuple, Tuple[Tuple, ...]]:
+    """Tied residual-stream mask groups: {leader -> (member, ...)}.
+
+    A CSP whose conv1 carries a mask is a residual chain (models only mask
+    conv1 when shortcut=True): the stream through conv1 and every
+    bottleneck conv2 (pre-add) must be pruned jointly for the channel to be
+    physically removable. Leader = csp/conv1 scope; members = csp/m*/conv2
+    mask scopes. SPP conv1 masks are excluded (no m0 bottleneck)."""
+    scopes = set(scopes)
+    groups = {}
+    for s in scopes:
+        if s[-1] != "conv1" or len(s) < 2:
+            continue
+        csp = s[:-1]
+        if csp + ("m0", "conv1", "conv", "kernel") not in params:
+            continue  # not a CSP bottleneck chain (e.g. SPP conv1)
+        members = []
+        i = 0
+        while True:
+            m = csp + (f"m{i}", "conv2")
+            if m not in scopes:
+                break
+            members.append(m)
+            i += 1
+        if members:
+            groups[s] = tuple(members)
+    return groups
+
+
 def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
                         prune_channels: int, site_floor: int = 1,
                         max_frac: float = 1.0,
@@ -148,6 +178,11 @@ def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
     """Globally sort channel importances (already-pruned = +inf) and mask
     the lowest ``prune_channels`` (ref pruner.py:362-448 +
     network_blocks.py:97-104). Returns (new variables, newly pruned count).
+
+    Residual-stream groups (find_residual_groups) rank as ONE site whose
+    score is the sum over tied sites; pruning a group channel zeroes it at
+    the leader and every member, and counts as group-size channels toward
+    the budget (the reference never prunes residual convs at all).
 
     Beyond the reference's raw global sort:
       * ``site_floor`` — minimum alive channels a site may keep (the
@@ -162,16 +197,32 @@ def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
     """
     params = flatten_dict(variables["params"])
     masks = dict(flatten_dict(variables["masks"]))
+    # residual-stream groups rank and prune as ONE site: the group score is
+    # the sum over tied sites, and zeroing a group channel masks it at the
+    # leader (csp conv1) and every member (bottleneck conv2) together
+    groups = find_residual_groups(importance.keys(), params)
+    member_of = {m: lead for lead, ms in groups.items() for m in ms}
 
     flat_scores = []
     index = []  # (scope, channel)
     budget: Dict[Tuple, int] = {}  # per-site remaining prunable channels
+    weight: Dict[Tuple, int] = {}  # conv channels zeroed per pruned unit
     for scope, imp in importance.items():
+        if scope in member_of:
+            continue  # ranked via its group leader
         scale = np.asarray(masks[scope + ("mask", "scale")])
-        imp = np.asarray(imp, np.float64)
         alive_mask = scale > 0.0
-        if normalize == "mean" and alive_mask.any():
-            imp = imp / (imp[alive_mask].mean() + 1e-12)
+
+        def _norm(a):
+            a = np.asarray(a, np.float64)
+            if normalize == "mean" and alive_mask.any():
+                a = a / (a[alive_mask].mean() + 1e-12)
+            return a
+
+        imp = _norm(imp)
+        for m in groups.get(scope, ()):
+            imp = imp + _norm(importance[m])
+        weight[scope] = 1 + len(groups.get(scope, ()))
         imp = np.where(~alive_mask, np.inf, imp)
         # protect the ``site_floor`` best alive channels of each site: a
         # conv must never reach zero width (downstream consumers and the
@@ -192,15 +243,19 @@ def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
     order = np.argsort(flat_scores, kind="stable")
 
     to_prune = []
+    n_sel = 0  # conv channels the selection will zero (groups weigh more)
     for i in order:
-        if len(to_prune) >= prune_channels:
+        if n_sel >= prune_channels:
             break
         if not np.isfinite(flat_scores[i]):
             continue
         scope, c = index[i]
         if budget[scope] <= 0:
             continue
+        if n_sel + weight[scope] > prune_channels:
+            continue  # a group pick would overshoot; try cheaper sites
         budget[scope] -= 1
+        n_sel += weight[scope]
         to_prune.append((scope, c))
 
     by_scope: Dict[Tuple, list] = {}
@@ -209,17 +264,18 @@ def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
 
     n_new = 0
     for scope, chans in by_scope.items():
-        scale = np.asarray(masks[scope + ("mask", "scale")]).copy()
-        offset = np.asarray(masks[scope + ("mask", "offset")]).copy()
-        bn_bias = np.asarray(params[scope + ("bn", "bias")])
-        keep = np.ones_like(scale)
-        keep[chans] = 0.0
-        newly = (1.0 - keep) * scale  # channels removed just now
-        offset += bn_bias * newly
-        scale *= keep
-        masks[scope + ("mask", "scale")] = jnp.asarray(scale)
-        masks[scope + ("mask", "offset")] = jnp.asarray(offset)
-        n_new += int(newly.sum())
+        for site in (scope,) + groups.get(scope, ()):
+            scale = np.asarray(masks[site + ("mask", "scale")]).copy()
+            offset = np.asarray(masks[site + ("mask", "offset")]).copy()
+            bn_bias = np.asarray(params[site + ("bn", "bias")])
+            keep = np.ones_like(scale)
+            keep[chans] = 0.0
+            newly = (1.0 - keep) * scale  # channels removed just now
+            offset += bn_bias * newly
+            scale *= keep
+            masks[site + ("mask", "scale")] = jnp.asarray(scale)
+            masks[site + ("mask", "offset")] = jnp.asarray(offset)
+            n_new += int(newly.sum())
 
     new_vars = dict(variables)
     new_vars["masks"] = unflatten_dict(masks)

@@ -342,7 +342,12 @@ class Bottleneck(nn.Module):
 
         y = ConvBnAct(hidden, 1, 1, prune=True, use_mask=self.use_mask,
                       name="conv1", **kw)(x, train)
-        conv2_prunable = (not use_add) and (not self.is_last)
+        # conv2 masks: chain position (non-residual, slimmed against the
+        # next conv1 or the CSP conv3) OR residual-group member (masked
+        # pre-add; pruned only jointly with the whole residual stream —
+        # beyond the reference, which leaves residual convs unpruned,
+        # ref network_blocks.py:152-160 prune=False on shortcut convs)
+        conv2_prunable = not use_add
         if self.depthwise and self.custom and (not self.is_last) and (not use_add):
             y = DWConvNoP(out_features, self.kernel_size, 1, self.dilation,
                           weight_mask=self.weight_mask, name="conv2", **dkw)(y, train)
@@ -353,7 +358,7 @@ class Bottleneck(nn.Module):
             y = ConvBnAct(out_features, self.kernel_size, 1,
                           dilation=self.dilation,
                           prune=conv2_prunable,
-                          use_mask=self.use_mask and conv2_prunable,
+                          use_mask=self.use_mask,
                           name="conv2", **kw)(y, train)
         if use_add:
             y = y + x
@@ -462,11 +467,20 @@ class CSPLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
-        hidden = int(self.features * self.expansion)
+        # "res": residual-group slim width (compress.merge slim_channels) —
+        # the stream through conv1 and every residual bottleneck narrows
+        # together, so one pin drives conv1 out + bottleneck widths
+        hidden = (self.slim or {}).get("res", int(self.features *
+                                                  self.expansion))
         kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
                   axis_name=self.axis_name, weight_mask=self.weight_mask)
 
-        x0 = ConvBnAct(hidden, 1, 1, name="conv1", **kw)(x, train)
+        # conv1 is the residual-group leader when the chain is residual:
+        # its mask is tied to every bottleneck conv2 mask (pruned jointly)
+        x0 = ConvBnAct(hidden, 1, 1, name="conv1",
+                       use_mask=(self.use_mask and self.shortcut
+                                 and not self.depthwise),
+                       **kw)(x, train)
         c2_features = (self.slim or {}).get(
             "c2", (cin - hidden) if self.custom else hidden)
         # the bypass branch feeds only conv3 (1x1): exactly slim-able

@@ -176,3 +176,71 @@ def test_head_slim_exact_with_zero_offsets():
         for key in ("reg", "obj", "cls"):
             np.testing.assert_allclose(np.asarray(r[key]),
                                        np.asarray(g[key]), atol=1e-5)
+
+
+def test_residual_group_slim_exact():
+    """Residual-stream group slimming: tied dead channels at a CSP's conv1
+    + every bottleneck conv2 are physically removed; all stream consumers
+    are 1x1, so the fold is exact even with bias-carrying offsets."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from cocodet_tpu.compress import merge_for_deployment, slim_channels
+    from cocodet_tpu.models import build_model
+
+    masked = build_model("yolox-p6", depth=0.33, width=0.25, use_mask=True)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 255
+    variables = dict(masked.init(jax.random.PRNGKey(0), x))
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda a: a + 0.05, variables["batch_stats"])
+    mflat = dict(flatten_dict(variables["masks"]))
+    params = flatten_dict(variables["params"])
+
+    # find every residual group (csp conv1 leader + m*/conv2 members) and
+    # kill a tied channel set, with Pruner-style bn-bias offsets
+    rs = np.random.RandomState(0)
+    n_groups = 0
+    for path in list(mflat):
+        if path[-2:] != ("mask", "scale") or path[-3] != "conv1":
+            continue
+        csp = path[:-3]
+        if csp + ("m0", "conv1", "conv", "kernel") not in params:
+            continue  # SPP conv1, not a residual chain
+        width = np.asarray(mflat[path]).shape[0]
+        kill = rs.rand(width) < 0.5
+        kill[0] = False  # keep >= 1 channel
+        sites = [csp + ("conv1",)]
+        i = 0
+        while csp + (f"m{i}", "conv2", "mask", "scale") in mflat:
+            sites.append(csp + (f"m{i}", "conv2"))
+            i += 1
+        assert i >= 1, f"no tied members under {csp}"
+        for s in sites:
+            scale = np.asarray(mflat[s + ("mask", "scale")]).copy()
+            off = np.asarray(mflat[s + ("mask", "offset")]).copy()
+            bias = np.asarray(params[s + ("bn", "bias")])
+            scale[kill] = 0.0
+            off[kill] = bias[kill]
+            mflat[s + ("mask", "scale")] = jnp.asarray(scale)
+            mflat[s + ("mask", "offset")] = jnp.asarray(off)
+        n_groups += 1
+    # P6 backbone: dark2/3/4 are residual (dark5/6 are shortcut=False)
+    assert n_groups >= 3, "expected residual groups in the residual stages"
+    variables["masks"] = unflatten_dict(mflat)
+
+    ref = masked.apply(variables, x)
+    merged = merge_for_deployment(variables, eps=1e-3)
+    slimmed, spec = slim_channels(merged, variables["masks"], round_to=1)
+    res_pins = [v["res"] for v in spec.values()
+                if isinstance(v, dict) and "res" in v]
+    assert len(res_pins) == n_groups
+    assert n_params(slimmed) < n_params(merged)
+
+    slim_model = build_model("yolox-p6", depth=0.33, width=0.25, fused=True,
+                             slim=spec)
+    got = slim_model.apply(slimmed, x)
+    for r, g in zip(ref, got):
+        for k in ("reg", "obj", "cls"):
+            np.testing.assert_allclose(np.asarray(g[k]), np.asarray(r[k]),
+                                       rtol=2e-4, atol=2e-4)
