@@ -31,15 +31,33 @@ class Tuner(Trainer):
         super().before_train()
         if self.distill_coefficient > 0:
             exp = self.exp
-            # teacher = the init checkpoint (ref tuner.py:197-210); when the
-            # init ckpt is a pruned model, the teacher mirrors the masked
-            # student so it computes the same function the ckpt describes
-            masks = getattr(self, "masks", None)
-            self.teacher_model = exp.get_model(use_mask=bool(masks))
-            self.teacher_vars = {"params": self.state.params,
-                                 "batch_stats": self.state.batch_stats}
-            if masks:
-                self.teacher_vars["masks"] = masks
+            teacher_ckpt = getattr(exp, "teacher_ckpt", None)
+            if teacher_ckpt:
+                # distill from a SEPARATE (typically dense, pre-prune)
+                # checkpoint: the recovery tune then pulls the pruned
+                # student back toward the unpruned model's features instead
+                # of the pruned init's (beyond the reference, whose teacher
+                # is always the init ckpt, ref tuner.py:197-210)
+                from ..utils.checkpoint import load_checkpoint
+
+                ckpt = load_checkpoint(teacher_ckpt)
+                model_vars = ckpt.get("model", ckpt)
+                self.teacher_model = exp.get_model()
+                self.teacher_vars = {
+                    "params": model_vars["params"],
+                    "batch_stats": model_vars.get("batch_stats", {})}
+                logger.info("Tuner: teacher from %s", teacher_ckpt)
+            else:
+                # teacher = the init checkpoint (ref tuner.py:197-210); when
+                # the init ckpt is a pruned model, the teacher mirrors the
+                # masked student so it computes the function the ckpt
+                # describes
+                masks = getattr(self, "masks", None)
+                self.teacher_model = exp.get_model(use_mask=bool(masks))
+                self.teacher_vars = {"params": self.state.params,
+                                     "batch_stats": self.state.batch_stats}
+                if masks:
+                    self.teacher_vars["masks"] = masks
             self.distill_step = make_distill_train_step(
                 self.model, self.teacher_model, self.optimizer_tx,
                 strides=exp.strides, num_classes=exp.num_classes,

@@ -105,3 +105,39 @@ def test_synflow_trainer_epoch(coco_root, tmp_path):
                if k[-1] == "conv_mask")
     assert abs(kept / total - 0.5) < 0.02, kept / total
     assert np.isfinite(t.meter["loss"].latest)
+
+
+def test_tuner_dense_teacher_ckpt(coco_root, tmp_path):
+    """exp.teacher_ckpt: the Tuner distills from a separate (dense)
+    checkpoint instead of its own init — the recovery-tune recipe where the
+    teacher is the pre-prune phase-2 model."""
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict
+
+    from cocodet_tpu.core.tuner import Tuner
+    from cocodet_tpu.utils.checkpoint import save_checkpoint
+
+    exp0 = TinyExp(coco_root)
+    teacher_vars = exp0.get_model().init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 3)), train=False)
+    save_checkpoint(
+        {"model": {"params": teacher_vars["params"],
+                   "batch_stats": teacher_vars.get("batch_stats", {})}},
+        False, str(tmp_path), "teacher")
+
+    exp = TinyExp(coco_root)
+    exp.output_dir = str(tmp_path)
+    exp.distill_coefficient = 1.0
+    exp.ema = False
+    exp.teacher_ckpt = os.path.join(str(tmp_path), "teacher_ckpt.msgpack")
+    t = Tuner(exp, Args())
+    t.train()
+    assert np.isfinite(t.meter["loss"].latest)
+    assert t.meter["dis_loss"].latest > 0.0
+    # the teacher really is the saved ckpt, not the student's init
+    want = flatten_dict(teacher_vars["params"])
+    got = flatten_dict(t.teacher_vars["params"])
+    k = next(iter(want))
+    np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]))
+    student = flatten_dict(t.state.params)
+    assert not np.allclose(np.asarray(student[k]), np.asarray(want[k]))

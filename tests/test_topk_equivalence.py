@@ -84,22 +84,27 @@ def _map_of(res, gt):
     return m.summarize()["AP"]
 
 
-def test_topk_2048_vs_5000_dense_scene():
+@pytest.mark.parametrize("topk", [2048, 1024])
+def test_topk_vs_5000_dense_scene(topk):
+    """2048 (default) and 1024 (the measured-fast operating point, +14%
+    throughput on a v5e) are mAP-equivalent to the reference's 5000 even on
+    a ~8k-candidate adversarial scene: the final cap is max_det=300, and
+    NMS survivors always sit inside the top-K by score."""
     outputs, gt = _dense_scene()
-    r2048 = _run(outputs, 2048)
+    rk = _run(outputs, topk)
     r5000 = _run(outputs, 5000)
 
     # the truncation must actually be active for this to be a real check
-    n2048 = int(r2048.valid.sum())
-    assert n2048 > 100, "scene not dense enough to exercise the cap"
+    nk = int(rk.valid.sum())
+    assert nk > 100, "scene not dense enough to exercise the cap"
 
-    ap2048 = _map_of(r2048, gt)
+    apk = _map_of(rk, gt)
     ap5000 = _map_of(r5000, gt)
     # documented equivalence claim (ops/postprocess.py:36-38)
-    assert abs(ap2048 - ap5000) < 2e-3, (ap2048, ap5000)
+    assert abs(apk - ap5000) < 2e-3, (apk, ap5000)
 
     # and the top-100 kept detections are identical box-for-box
-    np.testing.assert_allclose(r2048.boxes[0, :100], r5000.boxes[0, :100],
+    np.testing.assert_allclose(rk.boxes[0, :100], r5000.boxes[0, :100],
                                atol=1e-4)
-    np.testing.assert_allclose(r2048.scores[0, :100], r5000.scores[0, :100],
+    np.testing.assert_allclose(rk.scores[0, :100], r5000.scores[0, :100],
                                atol=1e-6)

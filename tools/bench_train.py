@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Training-step throughput for YOLOX-M-P6 on the real chip.
+
+The reference trains on 4xA100 at global batch 64 (ref README.md:33-40);
+this measures the single-chip jitted train step (fwd + SimOTA + loss + bwd
++ SGD + EMA) img/s so the pod-level projection (PARALLELISM.md recipe:
+DP over ICI, near-linear for this 25M-param CNN) has a measured anchor.
+
+Usage: python tools/bench_train.py [-b 16] [--size 640] [--iters 10]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser("bench_train")
+    ap.add_argument("-b", "--batch-size", type=int, default=16)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--depth", type=float, default=0.67)
+    ap.add_argument("--width", type=float, default=0.75)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--max-labels", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import traverse_util
+
+    from cocodet_tpu.core.train_state import (create_train_state,
+                                              make_train_step)
+    from cocodet_tpu.models import build_model
+
+    model = build_model("yolox-p6", depth=args.depth, width=args.width,
+                        dtype=getattr(jnp, args.dtype))
+
+    def decay_mask(params):
+        flat = traverse_util.flatten_dict(params)
+        return traverse_util.unflatten_dict(
+            {k: (k[-1] == "kernel") for k in flat})
+
+    tx = optax.chain(
+        optax.add_decayed_weights(5e-4, mask=decay_mask),
+        optax.sgd(0.01, momentum=0.9, nesterov=True),
+    )
+
+    rng = jax.random.PRNGKey(0)
+    b, s = args.batch_size, args.size
+    imgs = jnp.asarray(np.random.RandomState(0).rand(b, s, s, 3) * 255,
+                       jnp.float32)
+    # realistic label density: ~8 boxes/img (COCO mean ~7.3), padded
+    rs = np.random.RandomState(1)
+    labels = np.zeros((b, args.max_labels, 5), np.float32)
+    for i in range(b):
+        n = rs.randint(3, 15)
+        labels[i, :n, 0] = rs.randint(0, 80, n)
+        labels[i, :n, 1:3] = rs.uniform(64, s - 64, (n, 2))
+        labels[i, :n, 3:5] = rs.uniform(16, 128, (n, 2))
+    labels = jnp.asarray(labels)
+
+    state = create_train_state(model, tx, rng, imgs[:1])
+    step = make_train_step(model, tx, strides=(8, 16, 32, 64),
+                           num_classes=80)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, imgs, labels, use_l1=False)
+    jax.block_until_ready(metrics)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, imgs, labels, use_l1=False)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"train step: {dt * 1e3:.1f} ms/step @ b{b}/{s}px "
+          f"({b / dt:.1f} img/s, loss={float(metrics['loss']):.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -180,6 +180,9 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     exp4 = stage_exp("exps/tune/yolox_m_p6_tune_distill.py", "pipe_tune",
                      epoch_scale=0.5, lr_scale=0.1)
     exp4.init_ckpt = prune_ckpt
+    # distill toward the DENSE phase-2 model, not the pruned init: the
+    # recovery target is the unpruned function
+    exp4.teacher_ckpt = phase2_ckpt
     t4 = Tuner(exp4, args)
     t4.train()
     tune_ckpt = os.path.join(out_dir, "pipe_tune", "latest_ckpt.msgpack")
