@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--topk", type=int, nargs="+", default=[2048])
     ap.add_argument("--mode", choices=["model", "decode", "full", "all"],
                     default="all")
+    ap.add_argument("--slim", action="store_true",
+                    help="use the 49%%-pruned channel-slimmed model "
+                         "(bench.py's random tied pattern)")
     args = ap.parse_args()
 
     import jax
@@ -44,15 +47,23 @@ def main():
     from cocodet_tpu.ops.decode import attach_strides, concat_levels, decode_corner_scores
     from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
 
-    model = build_model("yolox-p6", depth=0.67, width=0.75,
-                        dtype=jnp.bfloat16, fused=True)
+    if args.slim:
+        import bench as _bench
+
+        model, slim_vars = _bench._build_slim()
+        slim_vars = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v, jnp.float32), slim_vars)
+    else:
+        model = build_model("yolox-p6", depth=0.67, width=0.75,
+                            dtype=jnp.bfloat16, fused=True)
     rng = jax.random.PRNGKey(0)
     strides = (8, 16, 32, 64)
 
     for b in args.batches:
         x = jnp.asarray(np.random.rand(b, args.size, args.size, 3) * 255,
                         jnp.float32)
-        variables = jax.jit(model.init)(rng, x[:1])
+        variables = (slim_vars if args.slim
+                     else jax.jit(model.init)(rng, x[:1]))
 
         fwd = jax.jit(lambda im: model.apply(variables, im))
 
