@@ -4,9 +4,11 @@ decode+NMS postprocess included.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Batch 32: the slim model's narrower convs need the larger batch to fill
-the MXU (b16 ~1007 img/s, b32 ~1156 on one v5e; 1343 with residual-stream
-slimming + K=1024 pre-NMS).
+Batch 128: the slim model's narrower convs need a large batch to fill the
+MXU, and 128 aligns the batch dim to the 128-lane registers — measured
+sweep at 640px/K=1024 on one v5e: b16 ~1007, b32 1350, b48 1533, b64
+1626, b96 1944, b128 2433, b192 1826, b256 2279 img/s (b128 is the
+clear optimum; the non-monotonicity is batch-dim tiling).
 
 Baseline (BASELINE.md "A100 img/s baseline derivation"): the reference's
 competition model on A100 ≈ 520 img/s at 640 — triangulated from published
@@ -30,7 +32,7 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
-BATCH, SIZE = 32, 640
+BATCH, SIZE = 128, 640
 STRIDES = (8, 16, 32, 64)
 
 
@@ -134,7 +136,7 @@ def main():
 
     baseline_2x = 2 * 520.0
     print(json.dumps({
-        "metric": "yolox_m_p6_pruned49_slim32_infer_640_bs32",
+        "metric": "yolox_m_p6_pruned49_slim32_infer_640_bs128",
         "value": round(slim_img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(slim_img_s / baseline_2x, 4),
