@@ -57,6 +57,25 @@ def _binary_cross_entropy_terms(sp: jnp.ndarray, eps: float = 1e-12):
     return log_p, log_1p
 
 
+def _topk_small(x: jnp.ndarray, k: int):
+    """Exact top-k along the last axis via k unrolled max/argmax rounds.
+
+    jax.lax.top_k lowers to a full O(A log^2 A) sort on TPU; for the tiny
+    k SimOTA needs (<= 10) k linear passes over the row are far cheaper
+    (A ~ 8.5k at 640px). Ties resolve to the lowest index, matching
+    jax.lax.top_k. Returns (values (..., k), indices (..., k))."""
+    vals, idxs = [], []
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        v = jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        x = jnp.where(
+            jax.nn.one_hot(i, x.shape[-1], dtype=bool), neg, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def assign_single(
     labels: jnp.ndarray,       # (G, 5) [class, cx, cy, w, h], zero-padded
     pred_boxes: jnp.ndarray,   # (A, 4) decoded cxcywh (input pixels)
@@ -120,17 +139,24 @@ def assign_single(
     )
 
     # ---- dynamic-k (ref dynamic_k_matching, yolo_head.py:561-575) ----
-    topk_iou, _ = jax.lax.top_k(iou_cand, min(10, a))
+    k_cap = min(10, a)
+    topk_iou, _ = _topk_small(iou_cand, k_cap)
     dynamic_k = jnp.maximum(
         jnp.sum(topk_iou, axis=1).astype(jnp.int32), 1)       # (G,)
 
-    # per-row rank of each anchor in ascending cost
-    order = jnp.argsort(cost, axis=1)                         # (G, A)
-    ranks = jax.vmap(lambda o: jnp.zeros((a,), jnp.int32).at[o].set(
-        jnp.arange(a, dtype=jnp.int32)))(order)
-    matched = (ranks < dynamic_k[:, None]) & gt_valid[:, None]
-    # exclude the _INF-masked pairs even if a tiny gt has k > #candidates
-    matched &= cost < _INF * 0.5
+    # dynamic_k = int(sum of top-10 IoUs) <= 10 by construction, so the
+    # k-smallest-cost selection only ever needs the 10 best anchors per
+    # gt: top_k over the negated cost + a bounded scatter replaces a full
+    # (G, A) argsort (A ~ 8.5k at 640px — the argsort dominated the whole
+    # train step on TPU: 592 ms of a 1000 ms step at b128)
+    neg_vals, top_idx = _topk_small(-cost, k_cap)             # (G, k)
+    sel = (
+        (jnp.arange(k_cap)[None, :] < dynamic_k[:, None])
+        & (-neg_vals < _INF * 0.5)    # exclude _INF-masked pairs even if
+        & gt_valid[:, None]           # a tiny gt has k > #candidates
+    )
+    matched = jnp.zeros((g, a), bool).at[
+        jnp.arange(g)[:, None], top_idx].set(sel)
 
     # ---- conflict resolution: min-cost gt wins (ref yolo_head.py:576-580) ----
     n_match = jnp.sum(matched, axis=0)                        # (A,)

@@ -73,18 +73,25 @@ def main():
     step = make_train_step(model, tx, strides=(8, 16, 32, 64),
                            num_classes=80)
 
+    # Sync discipline: under this TPU's remote tunnel,
+    # jax.block_until_ready() can return before the device actually
+    # executes (non-0-d outputs are lazy remote handles), which once
+    # produced impossible >1 PFLOP/s "measurements". A host readback of a
+    # scalar (float(...)) is the only trustworthy barrier; the steps
+    # themselves chain through `state`, so one readback at the end forces
+    # every step to have executed.
     t0 = time.perf_counter()
     state, metrics = step(state, imgs, labels, use_l1=False)
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step(state, imgs, labels, use_l1=False)
-    jax.block_until_ready(metrics)
+    loss = float(metrics["loss"])  # forces the whole chain
     dt = (time.perf_counter() - t0) / args.iters
     print(f"train step: {dt * 1e3:.1f} ms/step @ b{b}/{s}px "
-          f"({b / dt:.1f} img/s, loss={float(metrics['loss']):.3f})")
+          f"({b / dt:.1f} img/s, loss={loss:.3f})")
 
 
 if __name__ == "__main__":
