@@ -264,3 +264,26 @@ def test_soft_nms_decays_overlaps():
     decayed = sorted(s)[:2]
     assert min(decayed) < 0.8
     assert np.isclose(s, 0.7).any()
+
+
+def test_topk_small_matches_lax_topk():
+    """_topk_small (the unrolled SimOTA top-k) must match jax.lax.top_k
+    exactly, including tie order (lowest index first)."""
+    import jax.numpy as jnp
+
+    from cocodet_tpu.ops.simota import _topk_small
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(7, 50).astype(np.float32))
+    # inject ties
+    x = x.at[2, 10].set(x[2, 3])
+    x = x.at[5, :4].set(0.5)
+    for k in (1, 5, 10):
+        v1, i1 = jax.lax.top_k(x, k)
+        v2, i2 = _topk_small(x, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # -inf rows (fully masked) stay well-defined
+    xm = jnp.full((3, 8), -jnp.inf)
+    v, i = _topk_small(xm, 4)
+    assert np.isneginf(np.asarray(v)).all()
