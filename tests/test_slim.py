@@ -227,6 +227,24 @@ def test_residual_group_slim_exact():
         n_groups += 1
     # P6 backbone: dark2/3/4 are residual (dark5/6 are shortcut=False)
     assert n_groups >= 3, "expected residual groups in the residual stages"
+
+    # ALSO kill bottleneck conv1 (hidden-dim) channels with zero offsets:
+    # hidden and residual slimming slice orthogonal kernel dims of the
+    # same convs and must compose exactly
+    n_hidden = 0
+    for path in list(mflat):
+        if path[-2:] != ("mask", "scale") or path[-3] != "conv1":
+            continue
+        if not (len(path) >= 4 and path[-4].startswith("m")
+                and path[-4][1:].isdigit()):
+            continue  # only bottleneck conv1 sites
+        scale = np.asarray(mflat[path]).copy()
+        kill = rs.rand(scale.shape[0]) < 0.4
+        kill[0] = False
+        scale[kill] = 0.0
+        mflat[path] = jnp.asarray(scale)
+        n_hidden += int(kill.sum())
+    assert n_hidden > 0
     variables["masks"] = unflatten_dict(mflat)
 
     ref = masked.apply(variables, x)
