@@ -2,7 +2,22 @@
 throughput at 640px (the reference's competition model class), full
 decode+NMS postprocess included.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} as soon as
+the headline measurement finishes.  Structure (round-3 rework after the
+round-2 driver gate timed out, BENCH_r02.json rc=124):
+
+- The slim model is CONSTRUCTED on the host CPU backend (init + BN merge +
+  channel slimming are eager ops under ``jax.default_device(cpu)``), so the
+  TPU tunnel sees exactly ONE XLA program: the fused forward+postprocess.
+  Remote compiles cost 3-6 min each and occasionally wedge; one program is
+  the smallest possible exposure.
+- The headline JSON is printed IMMEDIATELY after the slim timing — no
+  secondary measurement sits between the result and stdout.  The dense
+  r1-comparable number moved behind ``--dense``.
+- The watchdog treats a forwarded JSON line as success (kills the child if
+  it wedges after printing), restarts on >420s of silence (one remote
+  compile is at most ~6 min; the child prints progress lines around each
+  long step so healthy compiles don't trip it), 3 attempts.
 
 Batch 128: the slim model's narrower convs need a large batch to fill the
 MXU, and 128 aligns the batch dim to the 128-lane registers — measured
@@ -14,7 +29,7 @@ Baseline (BASELINE.md "A100 img/s baseline derivation"): the reference's
 competition model on A100 ≈ 520 img/s at 640 — triangulated from published
 YOLOX V100/TRT numbers and deliberately generous to the reference (its
 sparse-storage checkpoint computes at DENSE speed, ref 03_jh_merge.py
-storage trick + main.py:52-55 densify-at-load). The north-star bar is 2x
+storage trick + main.py:52-55 densify-at-load).  The north-star bar is 2x
 that on one v5e chip: vs_baseline = value / 1040.
 
 The pruned model here carries a random 49% channel pattern (architecture-
@@ -24,6 +39,7 @@ level throughput; mAP comes from the training pipeline) slimmed with
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -34,6 +50,11 @@ os.environ.setdefault(
 
 BATCH, SIZE = 128, 640
 STRIDES = (8, 16, 32, 64)
+
+
+def _progress(msg):
+    """Non-JSON progress line: resets the watchdog's stall timer."""
+    print(f"# {msg}", flush=True)
 
 
 def _timeit(fn, x, iters=20):
@@ -48,7 +69,11 @@ def _timeit(fn, x, iters=20):
 
 
 def _build_slim():
-    """Random 49% channel prune -> merge -> 32-aligned slim model."""
+    """Random 49% channel prune -> merge -> 32-aligned slim model.
+
+    Caller is expected to run this under ``jax.default_device(cpu)`` — all
+    ops here are eager construction math, not the benchmarked program.
+    """
     import jax
     import jax.numpy as jnp
     from flax.traverse_util import flatten_dict, unflatten_dict
@@ -91,11 +116,10 @@ def _build_slim():
     return model, slimmed
 
 
-def main():
+def main(dense=False):
     import jax
     import jax.numpy as jnp
 
-    from cocodet_tpu.models import build_model
     from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
 
     # K=1024 pre-NMS: mAP-equivalent to the reference's 5000 on the
@@ -106,43 +130,60 @@ def main():
     cfg = PostprocessConfig(conf_threshold=0.001, nms_threshold=0.55,
                             pre_nms_topk=1024, max_det=300,
                             use_pallas=False)
-    imgs = jnp.asarray(
-        np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3) * 255,
-        jnp.float32)
 
-    # headline: the pruned + channel-slimmed competition model
-    slim_model, slim_vars = _build_slim()
-    slim_vars = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, jnp.float32), slim_vars)
+    # Construction on the host CPU backend: keeps the TPU tunnel down to a
+    # single compiled program (the benchmarked forward).
+    _progress("building slim model on host CPU")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        slim_model, slim_vars = _build_slim()
+        slim_vars = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), slim_vars)
+    _progress("transferring params + inputs to device")
+    device = jax.devices()[0]
+    slim_vars = jax.device_put(slim_vars, device)
+    imgs = jax.device_put(
+        jnp.asarray(np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3) * 255,
+                    jnp.float32), device)
 
     @jax.jit
     def slim_fwd(images):
         return postprocess(slim_model.apply(slim_vars, images), STRIDES, cfg)
 
+    _progress("compiling + timing slim forward (the one TPU program)")
     t_slim = _timeit(slim_fwd, imgs)
     slim_img_s = BATCH / t_slim
 
-    # secondary: dense model (r1-comparable number)
-    dense = build_model("yolox-p6", depth=0.67, width=0.75,
-                        dtype=jnp.bfloat16, fused=True)
-    dense_vars = jax.jit(dense.init)(jax.random.PRNGKey(0), imgs[:1])
-
-    @jax.jit
-    def dense_fwd(images):
-        return postprocess(dense.apply(dense_vars, images), STRIDES, cfg)
-
-    t_dense = _timeit(dense_fwd, imgs)
-    dense_img_s = BATCH / t_dense
-
     baseline_2x = 2 * 520.0
+    # Headline line FIRST — nothing else sits between the measurement and
+    # the driver's parser.
     print(json.dumps({
         "metric": "yolox_m_p6_pruned49_slim32_infer_640_bs128",
         "value": round(slim_img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(slim_img_s / baseline_2x, 4),
-        "dense_img_s": round(dense_img_s, 2),
-        "dense_vs_baseline": round(dense_img_s / baseline_2x, 4),
-    }))
+    }), flush=True)
+
+    if dense:
+        from cocodet_tpu.models import build_model
+
+        _progress("secondary: dense model (r1-comparable)")
+        dense_model = build_model("yolox-p6", depth=0.67, width=0.75,
+                                  dtype=jnp.bfloat16, fused=True)
+        with jax.default_device(cpu):
+            dense_vars = dense_model.init(jax.random.PRNGKey(0), imgs[:1])
+        dense_vars = jax.device_put(dense_vars, device)
+
+        @jax.jit
+        def dense_fwd(images):
+            return postprocess(dense_model.apply(dense_vars, images),
+                               STRIDES, cfg)
+
+        t_dense = _timeit(dense_fwd, imgs)
+        _progress(json.dumps({
+            "dense_img_s": round(BATCH / t_dense, 2),
+            "dense_vs_baseline": round(BATCH / t_dense / baseline_2x, 4),
+        }))
 
 
 def _run_with_watchdog():
@@ -150,40 +191,53 @@ def _run_with_watchdog():
     start (first remote-compile POST hangs forever, observed repeatedly).
     Run the real bench in a child; if it produces no stdout progress for
     stall_s, kill and respawn (a fresh process re-establishes the tunnel
-    session, which empirically clears the wedge)."""
+    session, which empirically clears the wedge).  A forwarded JSON line IS
+    success — if the child wedges after printing it, kill it and exit 0
+    (also guarantees at most one JSON line ever reaches stdout)."""
     import subprocess
-    import sys
+    import threading
 
-    stall_s, attempts = 900, 3
+    stall_s, attempts = 420, 3
     for attempt in range(attempts):
         env = dict(os.environ, _COCODET_BENCH_CHILD="1")
         proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        import threading
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
 
         last = [time.time()]
-        lines = []
+        got_json = [False]
 
         def pump():
             for line in proc.stdout:
                 last[0] = time.time()
-                lines.append(line)
-                if line.startswith("{"):
+                if line.startswith("{") and not got_json[0]:
+                    got_json[0] = True
                     sys.stdout.write(line)
                     sys.stdout.flush()
+                elif line.startswith("#"):
+                    sys.stderr.write(line)
+                    sys.stderr.flush()
 
         t = threading.Thread(target=pump, daemon=True)
         t.start()
         while proc.poll() is None:
-            time.sleep(10)
+            time.sleep(5)
+            if got_json[0]:
+                # Success as soon as the headline lands; give a clean exit
+                # a moment, then reap unconditionally.
+                try:
+                    proc.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                break
             if time.time() - last[0] > stall_s:
                 proc.kill()
                 print(f"# bench stalled >{stall_s}s (attempt {attempt + 1}/"
                       f"{attempts}), restarting", file=sys.stderr, flush=True)
                 break
         t.join(timeout=30)
-        if proc.poll() == 0 and any(ln.startswith("{") for ln in lines):
+        if got_json[0]:
             return 0
     print("# bench failed after retries", file=sys.stderr)
     return 1
@@ -191,6 +245,6 @@ def _run_with_watchdog():
 
 if __name__ == "__main__":
     if os.environ.get("_COCODET_BENCH_CHILD") == "1":
-        main()
+        main(dense="--dense" in sys.argv)
     else:
         raise SystemExit(_run_with_watchdog())

@@ -244,6 +244,7 @@ def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
 
     to_prune = []
     n_sel = 0  # conv channels the selection will zero (groups weigh more)
+    n_skip_budget = n_skip_overshoot = 0
     for i in order:
         if n_sel >= prune_channels:
             break
@@ -251,12 +252,21 @@ def apply_channel_prune(variables: Dict, importance: Dict[Tuple, np.ndarray],
             continue
         scope, c = index[i]
         if budget[scope] <= 0:
+            n_skip_budget += 1
             continue
         if n_sel + weight[scope] > prune_channels:
+            n_skip_overshoot += 1
             continue  # a group pick would overshoot; try cheaper sites
         budget[scope] -= 1
         n_sel += weight[scope]
         to_prune.append((scope, c))
+    if n_skip_budget or n_skip_overshoot or n_sel < prune_channels:
+        # no silent caps: surface why a round pruned fewer than requested
+        # (group picks near the budget boundary, or max_frac-starved sites)
+        logger.info(
+            "prune selection: %d/%d channels selected (%d candidates "
+            "skipped by max_frac budget, %d by group-overshoot)",
+            n_sel, prune_channels, n_skip_budget, n_skip_overshoot)
 
     by_scope: Dict[Tuple, list] = {}
     for scope, c in to_prune:

@@ -82,7 +82,11 @@ class Trainer:
         ckpt_model = (self._init_tree or {}).get("model", self._init_tree)
         ckpt_masks = (ckpt_model or {}).get("masks") or None
         use_mask = bool(getattr(exp, "use_mask", False) or ckpt_masks)
-        self.model = exp.get_model(use_mask=use_mask)
+        # Only pass use_mask when it's actually needed: out-of-tree Exp
+        # subclasses may override get_model() with the base class's zero-arg
+        # signature (base_exp.py:33) and would TypeError otherwise.
+        self.model = (exp.get_model(use_mask=True) if use_mask
+                      else exp.get_model())
         self.optimizer_tx = None  # built after iters_per_epoch known
 
         self.train_loader = exp.get_data_loader(

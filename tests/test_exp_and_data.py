@@ -40,6 +40,31 @@ def test_exp_registry():
     assert nano.model_name == "yolox-dw"
 
 
+def test_exp_zoo_all_files_load():
+    """Every file in exps/ constructs via the file factory (ref exps/ zoo
+    incl. exps/example/custom/{nano,yolox_s}.py)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(REPO, "exps", "**", "*.py"),
+                             recursive=True))
+    assert len(files) >= 22
+    for f in files:
+        exp = get_exp(f)
+        # some exps decorate exp_name (e.g. the tune recipe appends a
+        # suffix) — require it to at least contain the file stem's root
+        assert os.path.basename(f)[:-3] in exp.exp_name
+    custom_nano = get_exp(
+        os.path.join(REPO, "exps", "example", "custom", "nano.py"))
+    assert custom_nano.num_classes == 71
+    assert custom_nano.model_name == "yolox-dw"
+    assert custom_nano.enable_mixup is False
+    custom_s = get_exp(
+        os.path.join(REPO, "exps", "example", "custom", "yolox_s.py"))
+    assert custom_s.num_classes == 71
+    assert (custom_s.depth, custom_s.width) == (0.33, 0.50)
+    assert custom_s.max_epoch == 300
+
+
 def test_multiscale_buckets():
     exp = get_exp_by_name("yolox-m-p6")
     sizes = exp.multiscale_sizes()
