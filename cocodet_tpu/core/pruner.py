@@ -312,6 +312,12 @@ class Pruner(Trainer):
         self.prune_interval = getattr(exp, "prune_interval", 0.5)
         self.prune_channels = getattr(exp, "prune_channels", 64)
         self.prune_start_epoch = getattr(exp, "prune_start_epoch", 0)
+        # epochs >= prune_end_epoch train WITHOUT new prune events: an
+        # in-stage recovery window after the last surgery (the reference
+        # prunes to the final iteration and leans entirely on tune.py for
+        # recovery, ref pruner.py:362-448; a settling window before the
+        # Taylor scores stop moving recovers much of the AP50 drop earlier)
+        self.prune_end_epoch = getattr(exp, "prune_end_epoch", None)
         self.score_batches = getattr(exp, "prune_score_batches", 8)
         self.prune_site_floor = getattr(exp, "prune_site_floor", 1)
         self.prune_max_frac = getattr(exp, "prune_max_frac", 1.0)
@@ -376,7 +382,7 @@ class Pruner(Trainer):
         exp = self.exp
         prune_every = max(int(self.iters_per_epoch * self.prune_interval), 1)
         for it in range(self.iters_per_epoch):
-            imgs, labels, _, _ = self.data_iter.next()
+            imgs, labels, _, _ = self._next_batch()
             step_opt = self.epoch >= self.prune_start_epoch
             self.state, metrics = self.train_step(
                 self.state, self.teacher_vars, self.masks, imgs, labels,
@@ -389,14 +395,16 @@ class Pruner(Trainer):
                         jnp.asarray(global_iter, jnp.float32)))),
                     **{k: float(v) for k, v in metrics.items()})
                 self._log_progress(it, exp.input_size)
-            if (it + 1) % prune_every == 0:
+            prune_open = (self.prune_end_epoch is None
+                          or self.epoch < self.prune_end_epoch)
+            if prune_open and (it + 1) % prune_every == 0:
                 self.prune()
 
     def prune(self):
         """Accumulate importance over score batches, prune globally."""
         acc: Optional[Dict] = None
         for _ in range(self.score_batches):
-            imgs, labels, _, _ = self.data_iter.next()
+            imgs, labels, _, _ = self._next_batch()
             imp = self.score_step(self._variables(), imgs, labels)
             imp = jax.device_get(imp)
             acc = imp if acc is None else {

@@ -218,7 +218,7 @@ class Trainer:
         cur_size = self.input_size
         for it in range(self.iters_per_epoch):
             iter_start = time.perf_counter()
-            imgs, labels, _, _ = self.data_iter.next()
+            imgs, labels, _, _ = self._next_batch()
             data_end = time.perf_counter()
 
             # multiscale bucket switch every 10 global iters
@@ -248,6 +248,22 @@ class Trainer:
                         jnp.asarray(global_iter, jnp.float32)))),
                     **{k: float(v) for k, v in metrics.items()})
                 self._log_progress(it, cur_size)
+
+    def _next_batch(self):
+        """Pull a batch; on the device_aug path the loader delivers raw
+        uint8 static buffers and the jitted batched TrainTransform runs
+        on-device here (data/device_aug.py) — async dispatch overlaps it
+        with the previous train step."""
+        imgs, labels, infos, ids = self.data_iter.next()
+        if isinstance(imgs, dict):
+            from ..data.device_aug import train_aug_batch
+
+            exp = self.exp
+            imgs, labels = train_aug_batch(
+                **imgs, out_size=tuple(self.input_size),
+                max_labels=exp.max_labels_mosaic,
+                flip_prob=exp.flip_prob, hsv_prob=exp.hsv_prob)
+        return imgs, labels, infos, ids
 
     def _log_progress(self, it: int, cur_size):
         left_iters = (self.iters_per_epoch * (self.max_epoch - self.epoch)

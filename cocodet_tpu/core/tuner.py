@@ -72,7 +72,7 @@ class Tuner(Trainer):
             return super().train_in_iter()
         exp = self.exp
         for it in range(self.iters_per_epoch):
-            imgs, labels, _, _ = self.data_iter.next()
+            imgs, labels, _, _ = self._next_batch()
             self.state, metrics = self.distill_step(
                 self.state, self.teacher_vars,
                 getattr(self, "masks", None) or {}, imgs, labels,

@@ -1,0 +1,393 @@
+"""On-device (XLA) train-time augmentation: letterbox + HSV + flip + label
+padding + mixup as ONE jitted batched program.
+
+Parity target: the host TrainTransform pipeline (transforms.py:148-191,
+ref yolox/data/data_augment.py:21-31,136-160,163-212).  The host decodes
+JPEGs and composes mosaics; everything after — the per-pixel work that
+scales with input_size² — moves onto the TPU where it overlaps the train
+step instead of serializing on the 1-core host (BASELINE.json north_star:
+"mosaic, mixup, letterbox resize, HSV jitter moves on-device").
+
+TPU design notes:
+  * One fixed-shape program: raw images arrive padded to a static
+    (src_h, src_w) buffer with their true (h, w) carried densely; all
+    per-image scales are DYNAMIC values inside the jit (no recompiles
+    across image sizes).
+  * The letterbox resize is a hand-rolled separable bilinear gather with
+    cv2.INTER_LINEAR semantics — half-pixel centers, edge clamping to the
+    true (h-1, w-1) so the dead padding in the static buffer can never
+    bleed into the output (jax.image.scale_and_translate would sample it).
+  * Randomness comes in as a per-image vector drawn on the host from the
+    same seeded python Random as the host path — the parity tests replay
+    one RNG through both pipelines.
+  * HSV jitter uses cv2's uint8 conventions (H in [0,180), S/V in
+    [0,255]) in float math; pointwise, so it commutes with the flip and
+    fuses into the gather program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# per-image random vector layout (drawn host-side, see draw_randoms):
+#   [0] hsv gate draw       ~ U[0,1)   (jitter applied when < hsv_prob)
+#   [1:4] hsv gain draws    ~ U[-1,1]  (scaled by hgain/sgain/vgain)
+#   [4:7] hsv on/off draws  ∈ {0,1}    (host randint(0,1) per gain)
+#   [7] flip draw           ~ U[0,1)   (mirrored when < flip_prob)
+N_RANDOMS = 8
+
+
+def draw_randoms(rng, n: int) -> np.ndarray:
+    """Draw the (n, N_RANDOMS) random vector with the SAME call sequence
+    the host TrainTransform uses per image (transforms.py:174-176 ordering:
+    hsv gate, 3 uniform gains, 3 on/off ints, flip draw)."""
+    out = np.zeros((n, N_RANDOMS), np.float32)
+    for i in range(n):
+        out[i, 0] = rng.random()
+        out[i, 1:4] = [rng.uniform(-1, 1) for _ in range(3)]
+        out[i, 4:7] = [rng.randint(0, 1) for _ in range(3)]
+        out[i, 7] = rng.random()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HSV jitter (cv2 uint8 conventions, float math)
+# ---------------------------------------------------------------------------
+
+def bgr_to_hsv(img):
+    """BGR float [0,255] -> (h [0,180), s [0,255], v [0,255]) — the value
+    ranges cv2.cvtColor(..., COLOR_BGR2HSV) uses for uint8 images."""
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    v = jnp.maximum(jnp.maximum(b, g), r)
+    mn = jnp.minimum(jnp.minimum(b, g), r)
+    diff = v - mn
+    safe = jnp.where(diff > 0, diff, 1.0)
+    # hue in degrees/2 (cv2 packs 0..360 into 0..180 for uint8)
+    h = jnp.where(
+        v == r, (g - b) / safe * 30.0,
+        jnp.where(v == g, (b - r) / safe * 30.0 + 60.0,
+                  (r - g) / safe * 30.0 + 120.0))
+    h = jnp.where(diff > 0, h % 180.0, 0.0)
+    s = jnp.where(v > 0, diff / jnp.where(v > 0, v, 1.0) * 255.0, 0.0)
+    return h, s, v
+
+
+def hsv_to_bgr(h, s, v):
+    """Inverse of bgr_to_hsv (h in [0,180), s/v in [0,255])."""
+    h6 = h / 30.0  # sector in [0, 6)
+    c = v * (s / 255.0)
+    x = c * (1.0 - jnp.abs(h6 % 2.0 - 1.0))
+    m = v - c
+    sector = jnp.floor(h6).astype(jnp.int32) % 6
+    r = jnp.select([sector == 0, sector == 1, sector == 2,
+                    sector == 3, sector == 4], [c, x, 0.0, 0.0, x], c)
+    g = jnp.select([sector == 0, sector == 1, sector == 2,
+                    sector == 3, sector == 4], [x, c, c, x, 0.0], 0.0)
+    b = jnp.select([sector == 0, sector == 1, sector == 2,
+                    sector == 3, sector == 4], [0.0, 0.0, x, c, c], x)
+    return jnp.stack([b + m, g + m, r + m], axis=-1)
+
+
+def hsv_jitter(img, gains):
+    """Random HSV shift (ref data_augment.py:21-31): h rolls mod 180,
+    s/v clip to [0,255].  ``gains`` is (3,) — already gated/scaled."""
+    h, s, v = bgr_to_hsv(img)
+    # host rounds gains to int16 before applying (transforms.py:46)
+    g = jnp.round(gains)
+    h = (h + g[0]) % 180.0
+    s = jnp.clip(s + g[1], 0.0, 255.0)
+    v = jnp.clip(v + g[2], 0.0, 255.0)
+    out = hsv_to_bgr(h, s, v)
+    # host path goes through uint8 after the jitter — round to match
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# Letterbox: separable bilinear with cv2.INTER_LINEAR semantics
+# ---------------------------------------------------------------------------
+
+def _lin_weights(out_len: int, src_len, scale):
+    """Sample positions for one axis: half-pixel centers, edge clamp.
+
+    out coordinate o samples src at (o + 0.5)/scale - 0.5, like
+    cv2.INTER_LINEAR with scale = new_len/src_len.  Returns (i0, i1, w1)
+    with indices clamped to [0, src_len-1] (so static-buffer padding can
+    never be sampled)."""
+    o = jnp.arange(out_len, dtype=jnp.float32)
+    src = (o + 0.5) / scale - 0.5
+    i0f = jnp.floor(src)
+    w1 = jnp.clip(src - i0f, 0.0, 1.0)
+    hi = jnp.maximum(src_len - 1, 0)
+    i0 = jnp.clip(i0f.astype(jnp.int32), 0, hi)
+    i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, hi)
+    # beyond the drawn region the values are don't-care (masked to 114)
+    return i0, i1, w1
+
+
+def letterbox_resize_one(img, hw, out_size: Tuple[int, int],
+                         pad_value: float = 114.0):
+    """Ratio-preserving resize + top-left pad of ONE image living in a
+    static (src_h, src_w, 3) buffer with true size ``hw`` (host parity:
+    transforms.py:138-145).  Returns (out, r)."""
+    oh, ow = out_size
+    h = hw[0].astype(jnp.float32)
+    w = hw[1].astype(jnp.float32)
+    r = jnp.minimum(oh / h, ow / w)
+    # host: nw, nh = int(w*r), int(h*r); cv2 resizes with scale nw/w (not r)
+    nh = jnp.floor(h * r).astype(jnp.int32)
+    nw = jnp.floor(w * r).astype(jnp.int32)
+    sy = nh.astype(jnp.float32) / h
+    sx = nw.astype(jnp.float32) / w
+
+    y0, y1, wy = _lin_weights(oh, hw[0], sy)
+    x0, x1, wx = _lin_weights(ow, hw[1], sx)
+
+    img = img.astype(jnp.float32)
+    # rows: (src_h, src_w, 3) -> (oh, src_w, 3)
+    rows = (img[y0] * (1.0 - wy)[:, None, None]
+            + img[y1] * wy[:, None, None])
+    # cols: -> (oh, ow, 3)
+    out = (rows[:, x0] * (1.0 - wx)[None, :, None]
+           + rows[:, x1] * wx[None, :, None])
+
+    yy = jnp.arange(oh)[:, None]
+    xx = jnp.arange(ow)[None, :]
+    live = (yy < nh) & (xx < nw)
+    out = jnp.where(live[..., None], out, pad_value)
+    return out, r
+
+
+# ---------------------------------------------------------------------------
+# Boxes
+# ---------------------------------------------------------------------------
+
+def xyxy2cxcywh(boxes):
+    wh = boxes[..., 2:4] - boxes[..., 0:2]
+    c = boxes[..., 0:2] + wh * 0.5
+    return jnp.concatenate([c, wh], axis=-1)
+
+
+def _flip_boxes_xyxy(boxes, width):
+    """Mirror xyxy boxes about the vertical axis (transforms.py:116:
+    boxes[:, 0::2] = width - boxes[:, 2::-2])."""
+    x1 = width - boxes[..., 2]
+    x2 = width - boxes[..., 0]
+    return jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# The fused per-image transform
+# ---------------------------------------------------------------------------
+
+def _train_aug_one(img_u8, hw, boxes_xyxy, classes, nvalid, randoms,
+                   out_size: Tuple[int, int], max_labels: int,
+                   flip_prob: float, hsv_prob: float,
+                   hgain: float, sgain: float, vgain: float):
+    """Device twin of TrainTransform.__call__ (transforms.py:162-191) for
+    one image in a static buffer.  All control flow is data-independent
+    (where/masks), so the whole batch vmaps into one program."""
+    oh, ow = out_size
+    img = img_u8.astype(jnp.float32)
+
+    hsv_on = randoms[0] < hsv_prob
+    gains = (randoms[1:4] * jnp.asarray([hgain, sgain, vgain])
+             * randoms[4:7] * hsv_on)
+    aug = hsv_jitter(img, gains)
+
+    do_flip = randoms[7] < flip_prob
+    # flip inside the static buffer = reverse the live [0, w) columns;
+    # realized as a gather of column w-1-x clamped into the live region
+    w = hw[1]
+    src_w = img.shape[1]
+    cols = jnp.arange(src_w)
+    flip_cols = jnp.clip(w - 1 - cols, 0, src_w - 1)
+    aug = jnp.where(do_flip, aug[:, flip_cols], aug)
+
+    n = jnp.arange(boxes_xyxy.shape[0])
+    valid = n < nvalid
+    fboxes = jnp.where(do_flip,
+                       _flip_boxes_xyxy(boxes_xyxy, w.astype(jnp.float32)),
+                       boxes_xyxy)
+
+    # degenerate-aug fallback (transforms.py:182-186): if scaling kills
+    # every box, revert to the clean image + ALL original boxes.  Box
+    # sizes don't depend on hsv/flip, so keep-mask equality with the host
+    # path is exact.
+    r_pre = jnp.minimum(oh / hw[0].astype(jnp.float32),
+                        ow / hw[1].astype(jnp.float32))
+    cxcywh = xyxy2cxcywh(fboxes) * r_pre
+    keep = valid & (jnp.minimum(cxcywh[:, 2], cxcywh[:, 3]) > 1.0)
+    # covers BOTH host early-returns: no boxes at all (transforms.py:168-170,
+    # clean letterbox, no hsv/flip) and the degenerate-aug revert (:182-186)
+    fallback = ~keep.any()
+
+    use_img = jnp.where(fallback, img, aug)
+    out, r = letterbox_resize_one(use_img, hw, out_size)
+
+    final_boxes = jnp.where(fallback,
+                            xyxy2cxcywh(boxes_xyxy) * r_pre, cxcywh)
+    final_keep = jnp.where(fallback, valid, keep)
+
+    # stable front-compaction into the (max_labels, 5) padded layout the
+    # loss consumes (transforms.py:188-191)
+    order = jnp.argsort(~final_keep, stable=True)[:max_labels]
+    merged = jnp.concatenate([classes[:, None], final_boxes], axis=-1)
+    gathered = merged[order]
+    kcount = final_keep.sum()
+    slot_live = jnp.arange(max_labels) < kcount
+    labels = jnp.where(slot_live[:, None], gathered, 0.0)
+    return out, labels
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "max_labels", "flip_prob",
+                              "hsv_prob", "hgain", "sgain", "vgain"))
+def train_aug_batch(images_u8, hw, boxes_xyxy, classes, nvalid, randoms,
+                    out_size: Tuple[int, int], max_labels: int = 50,
+                    flip_prob: float = 0.5, hsv_prob: float = 1.0,
+                    hgain: float = 5.0, sgain: float = 30.0,
+                    vgain: float = 30.0):
+    """Batched jitted TrainTransform.
+
+    images_u8: (B, src_h, src_w, 3) uint8 static buffer (top-left aligned)
+    hw:        (B, 2) int32 true sizes
+    boxes_xyxy:(B, N, 4) float32, classes: (B, N), nvalid: (B,) int32
+    randoms:   (B, N_RANDOMS) float32 (draw_randoms)
+    -> images (B, *out_size, 3) float32, labels (B, max_labels, 5)
+    """
+    fn = functools.partial(
+        _train_aug_one, out_size=out_size, max_labels=max_labels,
+        flip_prob=flip_prob, hsv_prob=hsv_prob, hgain=hgain, sgain=sgain,
+        vgain=vgain)
+    return jax.vmap(fn)(images_u8, hw, boxes_xyxy, classes, nvalid, randoms)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mixup_batch(images_a, labels_a, images_b, labels_b):
+    """0.5/0.5 mixup of two already-letterboxed batches with label union
+    (ref mosaicdetection.py mixup: lam fixed at 0.5 in the competition
+    recipe).  Labels are (B, L, 5) zero-padded; the union front-compacts
+    a's labels then b's into a (B, 2L, 5) -> (B, L, 5) crop, matching the
+    host path's concatenate-then-truncate."""
+    imgs = 0.5 * images_a + 0.5 * images_b
+    both = jnp.concatenate([labels_a, labels_b], axis=1)
+    live = (both[..., 3] > 0) & (both[..., 4] > 0)
+    order = jnp.argsort(~live, axis=1, stable=True)
+    both = jnp.take_along_axis(both, order[..., None], axis=1)
+    return imgs, both[:, : labels_a.shape[1]]
+
+
+class DeviceAugDataset:
+    """Wraps MosaicDetection (built with ``preproc=None``) so fetch returns
+    the RAW composed image + xyxy labels + the per-item random vector drawn
+    from the SAME seeded rng the host path would use — the loader's
+    per-item determinism guarantee carries over unchanged."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def __len__(self):
+        return len(self._inner)
+
+    def close_mosaic(self):
+        self._inner.close_mosaic()
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def fetch(self, index, rng=None):
+        import random as _random
+
+        img, labels, info, img_id = self._inner.fetch(index, rng)
+        randoms = draw_randoms(rng or _random, 1)[0]
+        return img, labels, randoms, info, img_id
+
+
+def make_device_collate(src_size: Tuple[int, int], max_boxes: int = 120):
+    """Collate DeviceAugDataset items into the static train_aug_batch
+    buffers.  Returns (batch_dict, None, infos, ids) — the dict transfers
+    as a pytree through DevicePrefetcher (uint8 pixels: 4x less H2D
+    traffic than the host-side float32 path)."""
+    sh, sw = src_size
+
+    def collate(items):
+        b = len(items)
+        imgs = np.zeros((b, sh, sw, 3), np.uint8)
+        hw = np.zeros((b, 2), np.int32)
+        boxes = np.zeros((b, max_boxes, 4), np.float32)
+        classes = np.zeros((b, max_boxes), np.float32)
+        nvalid = np.zeros((b,), np.int32)
+        randoms = np.zeros((b, N_RANDOMS), np.float32)
+        infos, ids = [], []
+        for i, (img, tg, rnd, info, iid) in enumerate(items):
+            h = min(img.shape[0], sh)
+            w = min(img.shape[1], sw)
+            imgs[i, :h, :w] = img[:h, :w]
+            hw[i] = (h, w)
+            n = min(len(tg), max_boxes)
+            if n:
+                boxes[i, :n] = tg[:n, :4]
+                classes[i, :n] = tg[:n, 4]
+            nvalid[i] = n
+            randoms[i] = rnd
+            infos.append(info)
+            ids.append(iid)
+        batch = {"images_u8": imgs, "hw": hw, "boxes_xyxy": boxes,
+                 "classes": classes, "nvalid": nvalid, "randoms": randoms}
+        return batch, None, infos, ids
+
+    return collate
+
+
+class DeviceTrainAug:
+    """Host-facing wrapper: collates raw (image, xyxy boxes) items into the
+    static buffers and runs train_aug_batch on the accelerator.
+
+    Drop-in alternative to attaching TrainTransform per item: the host
+    loader yields raw decoded images; the per-pixel augmentation runs on
+    device, overlapped with the train step via DevicePrefetcher."""
+
+    def __init__(self, input_size: Tuple[int, int], src_size: Tuple[int, int],
+                 max_labels: int = 50, max_boxes: int = 120,
+                 flip_prob: float = 0.5, hsv_prob: float = 1.0):
+        self.input_size = tuple(input_size)
+        self.src_size = tuple(src_size)
+        self.max_labels = max_labels
+        self.max_boxes = max_boxes
+        self.flip_prob = flip_prob
+        self.hsv_prob = hsv_prob
+
+    def collate(self, items, rng):
+        """items: list of (img_u8 HWC, targets (n, 5) xyxy+cls). Returns the
+        host-side numpy arrays for train_aug_batch."""
+        b = len(items)
+        sh, sw = self.src_size
+        imgs = np.zeros((b, sh, sw, 3), np.uint8)
+        hw = np.zeros((b, 2), np.int32)
+        boxes = np.zeros((b, self.max_boxes, 4), np.float32)
+        classes = np.zeros((b, self.max_boxes), np.float32)
+        nvalid = np.zeros((b,), np.int32)
+        for i, (img, tg) in enumerate(items):
+            h = min(img.shape[0], sh)
+            w = min(img.shape[1], sw)
+            imgs[i, :h, :w] = img[:h, :w]
+            hw[i] = (h, w)
+            n = min(len(tg), self.max_boxes)
+            if n:
+                boxes[i, :n] = tg[:n, :4]
+                classes[i, :n] = tg[:n, 4]
+            nvalid[i] = n
+        randoms = draw_randoms(rng, b)
+        return imgs, hw, boxes, classes, nvalid, randoms
+
+    def __call__(self, items, rng):
+        imgs, hw, boxes, classes, nvalid, randoms = self.collate(items, rng)
+        return train_aug_batch(
+            imgs, hw, boxes, classes, nvalid, randoms,
+            out_size=self.input_size, max_labels=self.max_labels,
+            flip_prob=self.flip_prob, hsv_prob=self.hsv_prob)

@@ -100,13 +100,14 @@ class DetectionLoader:
 
     def __init__(self, dataset, batch_sampler: YoloBatchSampler,
                  num_workers: int = 2, seed: int = 0, prefetch: int = 2,
-                 mode: str = "thread"):
+                 mode: str = "thread", collate_fn=None):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.num_workers = max(num_workers, 1)
         self.seed = seed
         self.prefetch = prefetch
         self.mode = mode
+        self.collate_fn = collate_fn  # items -> (imgs, labels, infos, ids)
         self._counter = 0
 
     def close_mosaic(self):
@@ -174,6 +175,9 @@ class DetectionLoader:
                 futures = pending.get()
                 submit_next()
                 items = [f.result() for f in futures]
+                if self.collate_fn is not None:
+                    yield self.collate_fn(items)
+                    continue
                 imgs = np.stack([np.asarray(it[0], np.float32) for it in items])
                 labels = np.stack([np.asarray(it[1], np.float32) for it in items])
                 infos = [it[2] for it in items]

@@ -68,6 +68,13 @@ class Exp(BaseExp):
         self.mixup_scale = (0.5, 1.5)
         self.shear = 2.0
         self.enable_mixup = True
+        # move HSV + flip + letterbox + label padding onto the TPU as one
+        # jitted batched program (data/device_aug.py); the host keeps only
+        # decode + mosaic/affine composition.  Raw frames ship as uint8
+        # static buffers of src_scale * input_size.
+        self.device_aug = False
+        self.device_aug_src_scale = 2.0
+        self.device_aug_max_boxes = 120
 
         # ---------------- training config ----------------
         self.num_accumulate = 1
@@ -128,13 +135,17 @@ class Exp(BaseExp):
 
         dataset = self.get_dataset(cache=cache_img)
         dataset.preproc = None  # mosaic wrapper applies the transform
+        device_aug = getattr(self, "device_aug", False)
         mosaic = MosaicDetection(
             dataset,
             mosaic=not no_aug,
             img_size=self.input_size,
-            preproc=TrainTransform(max_labels=self.max_labels_mosaic,
-                                   flip_prob=self.flip_prob,
-                                   hsv_prob=self.hsv_prob),
+            # device_aug: per-pixel train transform runs on the TPU instead
+            # (data/device_aug.py); fetch then returns the raw composed image
+            preproc=None if device_aug else TrainTransform(
+                max_labels=self.max_labels_mosaic,
+                flip_prob=self.flip_prob,
+                hsv_prob=self.hsv_prob),
             degrees=self.degrees,
             translate=self.translate,
             mosaic_scale=self.mosaic_scale,
@@ -149,8 +160,20 @@ class Exp(BaseExp):
                                   world_size=world_size)
         batch_sampler = YoloBatchSampler(sampler, batch_size,
                                          mosaic=not no_aug)
-        return DetectionLoader(mosaic, batch_sampler,
-                               num_workers=self.data_num_workers, seed=seed)
+        collate_fn = None
+        wrapped = mosaic
+        if device_aug:
+            from ..data.device_aug import DeviceAugDataset, make_device_collate
+
+            scale = getattr(self, "device_aug_src_scale", 2.0)
+            src_size = (int(self.input_size[0] * scale),
+                        int(self.input_size[1] * scale))
+            wrapped = DeviceAugDataset(mosaic)
+            collate_fn = make_device_collate(
+                src_size, max_boxes=getattr(self, "device_aug_max_boxes", 120))
+        return DetectionLoader(wrapped, batch_sampler,
+                               num_workers=self.data_num_workers, seed=seed,
+                               collate_fn=collate_fn)
 
     def get_optimizer(self, batch_size: int):
         """SGD + nesterov momentum; weight decay only on conv kernels

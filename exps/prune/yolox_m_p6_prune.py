@@ -24,6 +24,9 @@ class Exp(CustomP6Exp):
         self.prune_interval = 0.5         # fraction of an epoch between prunes
         self.prune_channels = 64          # channels removed per prune event
         self.prune_start_epoch = 0
+        self.prune_end_epoch = None       # stop surgeries here; epochs after
+        # are an in-stage recovery window (None = prune to the end, the
+        # reference's behavior)
         self.prune_score_batches = 8
 
         # ranking-quality knobs (beyond the reference's raw global sort):

@@ -86,8 +86,21 @@ def _synth_overrides(exp, data_dir, size=256, max_epoch=20, lr=2.5e-4,
     return exp
 
 
+STAGES = ("phase1", "phase2", "prune", "tune", "compress")
+
+
 def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
-                 tiny_epochs=1, synth_epochs=0, synth_size=256):
+                 tiny_epochs=1, synth_epochs=0, synth_size=256,
+                 start_stage="phase1", init_from=None,
+                 prune_set=None, tune_set=None):
+    """Run the chain from ``start_stage`` onward; earlier stages' outputs
+    are read from ``init_from`` (default: a prior run in ``out_dir``), so a
+    tune-recipe experiment reuses the trained phase1/phase2/prune ckpts and
+    costs minutes, not the full chain.
+
+    ``prune_set`` / ``tune_set`` are ``[k, v, k, v, ...]`` lists merged
+    onto the stage exp via Exp.merge (same type coercion as the CLI).
+    """
     from cocodet_tpu.exp import get_exp
     from cocodet_tpu.utils.logger import logger
 
@@ -96,6 +109,27 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     args.batch_size = batch_size
     results = {}
     synth = synth_epochs > 0
+    start_idx = STAGES.index(start_stage)
+    src = init_from or out_dir
+
+    def _runs(stage):
+        return STAGES.index(stage) >= start_idx
+
+    def _stage_ckpt(stage, name):
+        """latest ckpt of a stage: from this run if it executed, else from
+        the prior run's directory."""
+        base = out_dir if _runs(stage) else src
+        return os.path.join(base, name, "latest_ckpt.msgpack")
+
+    # carry skipped stages' metrics forward so pipeline_results.json stays
+    # a full trajectory
+    if start_idx > 0:
+        prior = os.path.join(src, "pipeline_results.json")
+        if os.path.exists(prior):
+            with open(prior) as f:
+                for k, v in json.load(f).items():
+                    if any(k.startswith(s) for s in STAGES[:start_idx]):
+                        results[k] = v
 
     def stage_exp(exp_file, name, epoch_scale=1.0, lr_scale=1.0):
         exp = get_exp(exp_file=os.path.join(REPO, exp_file))
@@ -130,45 +164,52 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     # ---- phase 1: scratch training at 768 --------------------------------
     from cocodet_tpu.core.trainer import Trainer
 
-    logger.info("=== pipeline stage 1/6: phase-1 training ===")
-    exp1 = stage_exp("exps/p6/yolox_m_p6.py", "pipe_phase1")
-    t1 = Trainer(exp1, args)
-    t1.train()
-    phase1_ckpt = os.path.join(out_dir, "pipe_phase1", "latest_ckpt.msgpack")
-    results["phase1_loss"] = float(t1.meter["loss"].latest)
-    stage_eval(t1, exp1, "phase1")
+    if _runs("phase1"):
+        logger.info("=== pipeline stage 1/6: phase-1 training ===")
+        exp1 = stage_exp("exps/p6/yolox_m_p6.py", "pipe_phase1")
+        t1 = Trainer(exp1, args)
+        t1.train()
+        results["phase1_loss"] = float(t1.meter["loss"].latest)
+        stage_eval(t1, exp1, "phase1")
+    else:
+        exp1 = stage_exp("exps/p6/yolox_m_p6.py", "pipe_phase1")
+    phase1_ckpt = _stage_ckpt("phase1", "pipe_phase1")
 
     # ---- phase 2: 896 GIoU fine-tune (ref exps/p6/yolox_m_p6_tune.py) ----
-    logger.info("=== pipeline stage 2/6: phase-2 fine-tune ===")
-    exp2 = stage_exp("exps/p6/yolox_m_p6_tune.py", "pipe_phase2")
-    exp2.init_ckpt = phase1_ckpt
-    t2 = Trainer(exp2, args)
-    t2.train()
-    phase2_ckpt = os.path.join(out_dir, "pipe_phase2", "latest_ckpt.msgpack")
-    results["phase2_loss"] = float(t2.meter["loss"].latest)
-    stage_eval(t2, exp2, "phase2")
+    if _runs("phase2"):
+        logger.info("=== pipeline stage 2/6: phase-2 fine-tune ===")
+        exp2 = stage_exp("exps/p6/yolox_m_p6_tune.py", "pipe_phase2")
+        exp2.init_ckpt = phase1_ckpt
+        t2 = Trainer(exp2, args)
+        t2.train()
+        results["phase2_loss"] = float(t2.meter["loss"].latest)
+        stage_eval(t2, exp2, "phase2")
+    phase2_ckpt = _stage_ckpt("phase2", "pipe_phase2")
 
     # ---- stage 3: Taylor channel pruning w/ teacher distill --------------
     from cocodet_tpu.core import Pruner
 
-    logger.info("=== pipeline stage 3/6: channel pruning ===")
-    exp3 = stage_exp("exps/prune/yolox_m_p6_prune.py", "pipe_prune",
-                     epoch_scale=0.5, lr_scale=0.1)
-    exp3.init_ckpt = phase2_ckpt
-    if tiny:
-        exp3.prune_channels = 8
-        exp3.prune_interval = 1.0
-        exp3.prune_score_batches = 1
-        exp3.max_epoch = min(tiny_epochs, 10)  # bound total channels removed
-    elif synth:
-        exp3.prune_interval = 0.5
-        exp3.prune_score_batches = 2
-        exp3.prune_channels = getattr(exp3, "prune_channels", 64)
-    p = Pruner(exp3, args)
-    p.train()
-    prune_ckpt = os.path.join(out_dir, "pipe_prune", "latest_ckpt.msgpack")
-    results["prune_loss"] = float(p.meter["loss"].latest)
-    stage_eval(p, exp3, "prune")
+    if _runs("prune"):
+        logger.info("=== pipeline stage 3/6: channel pruning ===")
+        exp3 = stage_exp("exps/prune/yolox_m_p6_prune.py", "pipe_prune",
+                         epoch_scale=0.5, lr_scale=0.1)
+        exp3.init_ckpt = phase2_ckpt
+        if tiny:
+            exp3.prune_channels = 8
+            exp3.prune_interval = 1.0
+            exp3.prune_score_batches = 1
+            exp3.max_epoch = min(tiny_epochs, 10)  # bound channels removed
+        elif synth:
+            exp3.prune_interval = 0.5
+            exp3.prune_score_batches = 2
+            exp3.prune_channels = getattr(exp3, "prune_channels", 64)
+        if prune_set:
+            exp3.merge(prune_set)
+        p = Pruner(exp3, args)
+        p.train()
+        results["prune_loss"] = float(p.meter["loss"].latest)
+        stage_eval(p, exp3, "prune")
+    prune_ckpt = _stage_ckpt("prune", "pipe_prune")
 
     # ---- stage 4: post-prune recovery tune (distill) ---------------------
     # init = the PRUNED checkpoint (masks restored and held fixed; the
@@ -176,18 +217,21 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     # the reference's tune.py resumes the masked model the same way.
     from cocodet_tpu.core import Tuner
 
-    logger.info("=== pipeline stage 4/6: recovery fine-tune ===")
-    exp4 = stage_exp("exps/tune/yolox_m_p6_tune_distill.py", "pipe_tune",
-                     epoch_scale=0.5, lr_scale=0.1)
-    exp4.init_ckpt = prune_ckpt
-    # distill toward the DENSE phase-2 model, not the pruned init: the
-    # recovery target is the unpruned function
-    exp4.teacher_ckpt = phase2_ckpt
-    t4 = Tuner(exp4, args)
-    t4.train()
-    tune_ckpt = os.path.join(out_dir, "pipe_tune", "latest_ckpt.msgpack")
-    results["tune_loss"] = float(t4.meter["loss"].latest)
-    stage_eval(t4, exp4, "tune")
+    if _runs("tune"):
+        logger.info("=== pipeline stage 4/6: recovery fine-tune ===")
+        exp4 = stage_exp("exps/tune/yolox_m_p6_tune_distill.py", "pipe_tune",
+                         epoch_scale=0.5, lr_scale=0.1)
+        exp4.init_ckpt = prune_ckpt
+        # distill toward the DENSE phase-2 model, not the pruned init: the
+        # recovery target is the unpruned function
+        exp4.teacher_ckpt = phase2_ckpt
+        if tune_set:
+            exp4.merge(tune_set)
+        t4 = Tuner(exp4, args)
+        t4.train()
+        results["tune_loss"] = float(t4.meter["loss"].latest)
+        stage_eval(t4, exp4, "tune")
+    tune_ckpt = _stage_ckpt("tune", "pipe_tune")
 
     # ---- stage 5: offline compression + channel slim ---------------------
     from cocodet_tpu.compress import merge_for_deployment, slim_channels
@@ -289,6 +333,16 @@ def main():
     ap.add_argument("--synth-images", type=int, default=256)
     ap.add_argument("--cpu", action="store_true",
                     help="force the 8-device virtual CPU mesh")
+    ap.add_argument("--start-stage", choices=list(STAGES), default="phase1",
+                    help="resume the chain here, reading earlier stages' "
+                         "checkpoints from --init-from")
+    ap.add_argument("--init-from", default=None,
+                    help="prior run directory providing skipped stages' "
+                         "outputs (default: --out itself)")
+    ap.add_argument("--prune-set", nargs="*", default=None, metavar="K V",
+                    help="key value overrides merged onto the prune exp")
+    ap.add_argument("--tune-set", nargs="*", default=None, metavar="K V",
+                    help="key value overrides merged onto the tune exp")
     args = ap.parse_args()
 
     data_dir = args.data_dir
@@ -314,7 +368,9 @@ def main():
     run_pipeline(data_dir, args.out, tiny=args.tiny,
                  batch_size=args.batch_size, tiny_epochs=args.tiny_epochs,
                  synth_epochs=args.synth_epochs if args.synth else 0,
-                 synth_size=args.synth_size)
+                 synth_size=args.synth_size, start_stage=args.start_stage,
+                 init_from=args.init_from, prune_set=args.prune_set,
+                 tune_set=args.tune_set)
 
 
 if __name__ == "__main__":
