@@ -8,7 +8,85 @@ import os
 import sys
 
 
+def make_tiny_training(seed=0, batch=8, size=64):
+    """Deterministic tiny model + global batch, shared by the 2-process
+    workers and the single-process oracle (test_multiprocess.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cocodet_tpu.core.train_state import (create_train_state,
+                                              make_train_step)
+    from cocodet_tpu.models import build_model
+
+    model = build_model("yolox-p6", depth=0.33, width=0.125)
+    tx = optax.sgd(1e-2, momentum=0.9, nesterov=True)
+    rng = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((1, size, size, 3), jnp.float32)
+    state = create_train_state(model, tx, rng, sample)
+    step = make_train_step(model, tx, strides=(8, 16, 32, 64),
+                           num_classes=80, donate=False)
+
+    rs = np.random.RandomState(seed)
+    imgs = (rs.rand(batch, size, size, 3) * 255).astype(np.float32)
+    labels = np.zeros((batch, 5, 5), np.float32)
+    labels[:, 0] = [1.0, size / 2, size / 2, size / 4, size / 4]
+    labels[:, 1] = [7.0, size / 4, size / 4, size / 8, size / 8]
+    return state, step, imgs, labels
+
+
+def checksum(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return float(sum(jnp.sum(jnp.abs(x.astype(jnp.float64)))
+                     for x in jax.tree_util.tree_leaves(tree)))
+
+
+def train_mode(coordinator, num, pid):
+    """One DP train step under jax.distributed: 2 procs x 4 virtual CPU
+    devices = the same 8-device global mesh the single-process tests use
+    (ref yolox/core/launch.py:38-131 multi-host path)."""
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from cocodet_tpu.parallel import (initialize_distributed, make_mesh,
+                                      data_sharding, replicate)
+
+    initialize_distributed(coordinator, num, pid)
+    assert jax.device_count() == 8, jax.device_count()
+
+    import numpy as np
+
+    state, step, imgs, labels = make_tiny_training()
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    # per-process local half of the global batch -> one global jax.Array
+    per = imgs.shape[0] // num
+    sh_i = data_sharding(mesh, imgs.ndim)
+    sh_l = data_sharding(mesh, labels.ndim)
+    g_imgs = jax.make_array_from_process_local_data(
+        sh_i, imgs[pid * per:(pid + 1) * per])
+    g_labels = jax.make_array_from_process_local_data(
+        sh_l, labels[pid * per:(pid + 1) * per])
+
+    new_state, metrics = step(state, g_imgs, g_labels)
+    loss = float(metrics["loss"])
+    # params stay replicated: every process reads the full updated tree
+    psum = checksum(new_state.params)
+    print(json.dumps({"pid": pid, "ok": True, "loss": loss,
+                      "param_checksum": psum}))
+
+
 def main():
+    if "--train" in sys.argv:
+        coordinator, num, pid = (sys.argv[1], int(sys.argv[2]),
+                                 int(sys.argv[3]))
+        train_mode(coordinator, num, pid)
+        return
     coordinator, num, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax

@@ -20,6 +20,52 @@ def _free_port():
 
 
 @pytest.mark.slow
+def test_two_process_train_step_parity():
+    """One full DP train step under jax.distributed (2 procs x 4 devices)
+    must match the single-process 8-device mesh bit-for-bit-ish: same
+    loss, same updated params (VERDICT r2 item 7; ref launch.py:38-131)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "multiproc_worker.py")
+    coordinator = f"localhost:{_free_port()}"
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(here)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid), "--train"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=os.path.dirname(here), env=env, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert all(o["ok"] for o in outs)
+    # both processes observed the identical replicated result
+    assert outs[0]["loss"] == pytest.approx(outs[1]["loss"], rel=1e-6)
+    assert outs[0]["param_checksum"] == pytest.approx(
+        outs[1]["param_checksum"], rel=1e-6)
+
+    # single-process oracle on this process's own 8-device mesh
+    import multiproc_worker as mw
+    from cocodet_tpu.parallel import make_mesh, replicate, shard_batch
+
+    state, step, imgs, labels = mw.make_tiny_training()
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    g_imgs, g_labels = shard_batch(mesh, (imgs, labels))
+    new_state, metrics = step(state, g_imgs, g_labels)
+    assert float(metrics["loss"]) == pytest.approx(outs[0]["loss"],
+                                                   rel=1e-5)
+    assert mw.checksum(new_state.params) == pytest.approx(
+        outs[0]["param_checksum"], rel=1e-5)
+
+
+@pytest.mark.slow
 def test_two_process_allgather():
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "multiproc_worker.py")
