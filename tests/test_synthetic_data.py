@@ -42,6 +42,32 @@ def test_coco_format_valid(synth_root):
         assert 0 <= y and y + h <= im["height"] + 1e-6
 
 
+def test_variants(tmp_path):
+    """Occlusion / crowding / texture variants generate valid datasets with
+    the intended statistics (VERDICT r2 item 10)."""
+    import cv2
+
+    from cocodet_tpu.data.synthetic import make_synthetic_coco
+
+    stats = {}
+    for variant in ("default", "occlusion", "crowding", "texture"):
+        root = make_synthetic_coco(
+            str(tmp_path / variant), n_train=12, n_val=2,
+            size_range=(160, 224), seed=5, variant=variant)
+        with open(os.path.join(root, "annotations",
+                               "instances_train2017.json")) as f:
+            d = json.load(f)
+        assert d["annotations"]
+        for ann in d["annotations"]:
+            assert ann["bbox"][2] > 0 and ann["bbox"][3] > 0
+        img = cv2.imread(os.path.join(root, "train2017",
+                                      d["images"][0]["file_name"]))
+        assert img is not None and img.ndim == 3
+        stats[variant] = len(d["annotations"]) / len(d["images"])
+    # crowding must actually crowd
+    assert stats["crowding"] > 1.5 * stats["default"]
+
+
 def test_deterministic(synth_root, tmp_path):
     from cocodet_tpu.data.synthetic import make_synthetic_coco
 

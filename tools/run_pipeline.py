@@ -331,6 +331,10 @@ def main():
     ap.add_argument("--synth-epochs", type=int, default=20)
     ap.add_argument("--synth-size", type=int, default=256)
     ap.add_argument("--synth-images", type=int, default=256)
+    ap.add_argument("--synth-variant", default="default",
+                    choices=["default", "occlusion", "crowding", "texture"],
+                    help="synthetic-benchmark family member "
+                         "(data/synthetic.py VARIANTS)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the 8-device virtual CPU mesh")
     ap.add_argument("--start-stage", choices=list(STAGES), default="phase1",
@@ -360,10 +364,13 @@ def main():
     if args.synth and data_dir is None:
         from cocodet_tpu.data.synthetic import make_synthetic_coco
 
+        suffix = ("" if args.synth_variant == "default"
+                  else f"_{args.synth_variant}")
         data_dir = make_synthetic_coco(
-            "/tmp/cocodet_synth_coco", n_train=args.synth_images,
+            f"/tmp/cocodet_synth_coco{suffix}", n_train=args.synth_images,
             n_val=max(args.synth_images // 4, 16),
-            size_range=(args.synth_size, args.synth_size * 2))
+            size_range=(args.synth_size, args.synth_size * 2),
+            variant=args.synth_variant)
     assert data_dir, "--data-dir required unless --tiny/--synth"
     run_pipeline(data_dir, args.out, tiny=args.tiny,
                  batch_size=args.batch_size, tiny_epochs=args.tiny_epochs,
