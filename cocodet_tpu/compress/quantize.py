@@ -1,0 +1,118 @@
+"""Post-training int8 quantization (PTQ) for the fused/slim inference zoo.
+
+The reference's identity is compression — channel pruning + storage tricks
+(ref 01_mask_generator.py:10-46, 03_jh_merge.py) — but it never touches the
+quantization axis.  On TPU that axis is where the silicon pays out: the MXU
+executes s8 x s8 -> s32 at twice the bf16 rate, and int8 weights halve HBM
+traffic.  This module adds the missing piece as an offline transform over
+the deployment (BN-folded, optionally channel-slimmed) checkpoint:
+
+  1. ``calibrate``       — run N batches through the fused model built with
+     ``quant="calib"``; every quantizable conv sows its input absmax into
+     the ``quant_stats`` collection (models/blocks.py Conv2d).
+  2. ``build_quant_tree``— turn the stats into per-conv activation scales
+     (absmax / 127, per-tensor symmetric).
+  3. ``quantize_weights``— per-out-channel symmetric int8 kernels
+     (scale = absmax over (kh, kw, cin) / 127); biases stay float.
+  4. apply with the model built with ``quant="w8a8"`` and the combined
+     ``quant`` collection: activations quantize per-tensor at each conv,
+     the conv runs in int8, one float rescale after.
+
+Scope: ConvBnAct convs in fused topology only (backbone + FPN + head
+towers).  The final head prediction convs (reg/obj/cls 1x1, raw Conv2d
+without BN) stay bf16 — they are output-quality-critical and a rounding
+error there moves boxes directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+def calibrate(model, variables: Dict, batches: Iterable) -> Dict:
+    """Run calibration batches through a ``quant="calib"`` model; returns
+    the accumulated ``quant_stats`` collection (per-conv input absmax)."""
+    stats = None
+    for images in batches:
+        _, mut = model.apply(dict(variables), images,
+                             mutable=["quant_stats"])
+        batch_stats = mut["quant_stats"]
+        if stats is None:
+            stats = batch_stats
+        else:
+            stats = jax.tree_util.tree_map(
+                lambda a, b: jnp.maximum(a, b), stats, batch_stats)
+    assert stats is not None, "calibrate needs at least one batch"
+    return jax.device_get(stats)
+
+
+def build_quant_tree(stats: Dict) -> Dict:
+    """quant_stats (sown absmax tuples) -> ``quant`` collection with
+    per-conv ``act_scale`` leaves."""
+    flat = flatten_dict(stats)
+    out = {}
+    for path, val in flat.items():
+        # sow stores ("act_absmax",) tuples; path ends (..., "conv",
+        # "act_absmax")
+        if path[-1] != "act_absmax":
+            continue
+        absmax = float(np.max(np.asarray(jax.device_get(val))))
+        scope = path[:-1]
+        out[scope + ("act_scale",)] = jnp.float32(max(absmax, 1e-8) / 127.0)
+    return unflatten_dict(out)
+
+
+def quantize_weights(variables: Dict, quant_tree: Dict
+                     ) -> Tuple[Dict, Dict]:
+    """Per-out-channel symmetric int8 quantization of every conv kernel
+    that has a calibrated ``act_scale``.  Returns (new variables with int8
+    kernels, quant collection carrying w_scale + act_scale)."""
+    params = dict(flatten_dict(variables["params"]))
+    qflat = dict(flatten_dict(quant_tree))
+    for path in list(qflat):
+        if path[-1] != "act_scale":
+            continue
+        scope = path[:-1]  # ends with (..., "conv")
+        kpath = scope + ("kernel",)
+        kernel = np.asarray(params[kpath], np.float32)
+        absmax = np.abs(kernel).max(axis=(0, 1, 2))  # per out channel
+        w_scale = np.maximum(absmax, 1e-8) / 127.0
+        q = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
+        params[kpath] = jnp.asarray(q)
+        qflat[scope + ("w_scale",)] = jnp.asarray(w_scale, jnp.float32)
+    new_vars = dict(variables)
+    new_vars["params"] = unflatten_dict(params)
+    return new_vars, unflatten_dict(qflat)
+
+
+def quantize_model(calib_model, variables: Dict,
+                   calib_batches: Iterable) -> Dict:
+    """One-call PTQ: calibrate on ``calib_model`` (built with
+    quant="calib"), quantize weights, and return the full variable tree
+    (params with int8 kernels + the "quant" collection) ready for a model
+    built with quant="w8a8"."""
+    stats = calibrate(calib_model, variables, calib_batches)
+    qtree = build_quant_tree(stats)
+    qvars, quant = quantize_weights(variables, qtree)
+    qvars["quant"] = quant
+    return qvars
+
+
+def quantization_report(variables: Dict) -> Dict[str, Any]:
+    """Byte accounting: int8 vs float parameter footprint."""
+    flat = flatten_dict(variables["params"])
+    int8_bytes = sum(int(np.prod(v.shape)) for v in flat.values()
+                     if v.dtype == jnp.int8)
+    float_bytes = sum(int(np.prod(v.shape)) * 4 for v in flat.values()
+                      if v.dtype != jnp.int8)
+    n_q = sum(1 for v in flat.values() if v.dtype == jnp.int8)
+    return {"quantized_convs": n_q,
+            "int8_bytes": int8_bytes,
+            "float_bytes": float_bytes,
+            "total_mb": (int8_bytes + float_bytes) / 2**20}

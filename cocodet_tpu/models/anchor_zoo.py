@@ -56,12 +56,13 @@ class VConv(nn.Module):
     groups: int = 1
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ConvBnAct(self.features, self.kernel_size, self.stride,
-                         groups=self.groups, act=self.act, fused=self.fused,
+                         groups=self.groups, act=self.act, fused=self.fused, quant=self.quant,
                          bn_momentum=0.03, bn_eps=1e-3, dtype=self.dtype)(
             x, train)
 
@@ -72,6 +73,7 @@ class AffineGate(nn.Module):
 
     features: int
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -90,13 +92,14 @@ class VBottleneck(nn.Module):
     expansion: float = 0.5
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
         hidden = int(self.features * self.expansion)
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype)
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype)
         y = VConv(hidden, 1, name="cv1", **kw)(x, train)
         y = VConv(self.features, 3, name="cv2", **kw)(y, train)
         return y + x if self.shortcut and cin == self.features else y
@@ -111,12 +114,13 @@ class C3(nn.Module):
     expansion: float = 0.5
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.features * self.expansion)
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype)
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype)
         x1 = VConv(hidden, 1, name="cv1", **kw)(x, train)
         for i in range(self.n):
             x1 = VBottleneck(hidden, self.shortcut, 1.0, name=f"m{i}",
@@ -133,11 +137,12 @@ class SPPF(nn.Module):
     k: int = 5
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype)
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype)
         x = VConv(x.shape[-1] // 2, 1, name="cv1", **kw)(x, train)
         y1 = max_pool_same(x, self.k)
         y2 = max_pool_same(y1, self.k)
@@ -155,12 +160,13 @@ class BottleneckCSP(nn.Module):
     expansion: float = 0.5
     act: str = "mish"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.features * self.expansion)
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype)
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype)
         x0 = VConv(hidden, 1, name="cv1", **kw)(x, train)
         x2 = Conv2d(hidden, 1, use_bias=True, dtype=self.dtype,
                     name="cv2")(x)
@@ -171,7 +177,7 @@ class BottleneckCSP(nn.Module):
         x1 = Conv2d(hidden, 1, use_bias=True, dtype=self.dtype,
                     name="cv3")(x1)
         y = jnp.concatenate([x1, x2], -1)
-        y = AffineGate(2 * hidden, fused=self.fused, dtype=self.dtype,
+        y = AffineGate(2 * hidden, fused=self.fused, quant=self.quant, dtype=self.dtype,
                        name="bn")(y, train)
         y = mish(y)
         return VConv(self.features, 1, name="cv4", **kw)(y, train)
@@ -185,12 +191,13 @@ class BottleneckCSP2(nn.Module):
     shortcut: bool = False
     act: str = "mish"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.features)
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype)
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype)
         x0 = VConv(hidden, 1, name="cv1", **kw)(x, train)
         x1 = x0
         for i in range(self.n):
@@ -199,7 +206,7 @@ class BottleneckCSP2(nn.Module):
         x2 = Conv2d(hidden, 1, use_bias=True, dtype=self.dtype,
                     name="cv2")(x0)
         y = jnp.concatenate([x1, x2], -1)
-        y = AffineGate(2 * hidden, fused=self.fused, dtype=self.dtype,
+        y = AffineGate(2 * hidden, fused=self.fused, quant=self.quant, dtype=self.dtype,
                        name="bn")(y, train)
         y = mish(y)
         return VConv(self.features, 1, name="cv3", **kw)(y, train)
@@ -213,12 +220,13 @@ class SPPCSP(nn.Module):
     expansion: float = 0.5
     act: str = "mish"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(2 * self.features * self.expansion)
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype)
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype)
         x1 = VConv(hidden, 1, name="cv1", **kw)(x, train)
         x1 = VConv(hidden, 3, name="cv3", **kw)(x1, train)
         x1 = VConv(hidden, 1, name="cv4", **kw)(x1, train)
@@ -229,7 +237,7 @@ class SPPCSP(nn.Module):
         y2 = Conv2d(hidden, 1, use_bias=True, dtype=self.dtype,
                     name="cv2")(x)
         y = jnp.concatenate([y1, y2], -1)
-        y = AffineGate(2 * hidden, fused=self.fused, dtype=self.dtype,
+        y = AffineGate(2 * hidden, fused=self.fused, quant=self.quant, dtype=self.dtype,
                        name="bn")(y, train)
         y = mish(y)
         return VConv(self.features, 1, name="cv7", **kw)(y, train)
@@ -251,13 +259,14 @@ class AnchorDetector(nn.Module):
     width_multiple: float = 1.0
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         gd, gw = self.depth_multiple, self.width_multiple
         outputs: List[jnp.ndarray] = []
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype)
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype)
 
         for li, (frm, number, module, args) in enumerate(self.spec):
             n = max(round(number * gd), 1) if number > 1 else number

@@ -156,6 +156,15 @@ class Conv2d(nn.Module):
     kernel_init: Callable = conv_kernel_init
     bias_init: Callable = nn.initializers.zeros
     dtype: Optional[Dtype] = None
+    # int8 PTQ mode (compress/quantize.py):
+    #   "calib" — float conv, sow per-conv input absmax into "quant_stats";
+    #   "w8a8"  — kernel arrives int8 (per-out-channel scales in the
+    #             "quant" collection), activations quantize per-tensor
+    #             with the calibrated scale, conv runs s8 x s8 -> s32 on
+    #             the MXU, one rescale after.  Ref identity: compression
+    #             track (ref 01_mask_generator.py:10-46) taken to the
+    #             quantization axis the TPU rewards.
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -168,16 +177,41 @@ class Conv2d(nn.Module):
             )
             kernel = kernel * wmask.value.astype(kernel.dtype)
         dtype = self.dtype or x.dtype
+        if dtype == jnp.int8:  # quantized params: compute dtype is bf16
+            dtype = jnp.bfloat16
         pad = ((self.kernel_size - 1) * self.dilation) // 2
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
+        conv_kw = dict(
             window_strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
         )
+        if self.quant == "calib":
+            self.sow("quant_stats", "act_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
+        if self.quant == "w8a8" and kernel.dtype == jnp.int8:
+            w_scale = self.variable(
+                "quant", "w_scale",
+                lambda: jnp.ones((self.features,), jnp.float32)).value
+            a_scale = self.variable(
+                "quant", "act_scale",
+                lambda: jnp.ones((), jnp.float32)).value
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, kernel, preferred_element_type=jnp.int32, **conv_kw)
+            y = (y.astype(jnp.float32)
+                 * (a_scale * w_scale)).astype(dtype)
+        else:
+            if kernel.dtype == jnp.int8:
+                raise ValueError(
+                    "int8 kernel requires quant='w8a8' (build the model "
+                    "via build_model(..., quant='w8a8'))")
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype), **conv_kw)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(dtype)
@@ -204,6 +238,7 @@ class ConvBnAct(nn.Module):
     dilation: int = 1
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False
     weight_mask: bool = False
     prune: bool = False  # marker: channel-prunable (ref BaseConv(prune=True))
@@ -228,6 +263,8 @@ class ConvBnAct(nn.Module):
             weight_mask=self.weight_mask,
             kernel_init=kinit,
             dtype=self.dtype,
+            # quantization applies to the BN-folded inference topology only
+            quant=self.quant if self.fused else None,
             name="conv",
         )(x)
 
@@ -256,6 +293,7 @@ class DWConv(nn.Module):
     dilation: int = 1
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     weight_mask: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
@@ -263,7 +301,7 @@ class DWConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
-        kw = dict(fused=self.fused, dtype=self.dtype, axis_name=self.axis_name,
+        kw = dict(fused=self.fused, quant=self.quant, dtype=self.dtype, axis_name=self.axis_name,
                   act=self.act, weight_mask=self.weight_mask)
         x = ConvBnAct(cin, self.kernel_size, self.stride, groups=cin,
                       dilation=self.dilation, name="dconv", **kw)(x, train)
@@ -280,6 +318,7 @@ class DWConvNoP(nn.Module):
     dilation: int = 1
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     weight_mask: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
@@ -289,7 +328,7 @@ class DWConvNoP(nn.Module):
         cin = x.shape[-1]
         assert self.features == cin
         return ConvBnAct(cin, self.kernel_size, self.stride, groups=cin,
-                         dilation=self.dilation, act=self.act, fused=self.fused,
+                         dilation=self.dilation, act=self.act, fused=self.fused, quant=self.quant,
                          weight_mask=self.weight_mask,
                          dtype=self.dtype, axis_name=self.axis_name,
                          name="dconv")(x, train)
@@ -318,6 +357,7 @@ class Bottleneck(nn.Module):
     is_last: bool = False
     custom: bool = False
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False      # ChannelMask on prunable convs (Pruner runtime)
     weight_mask: bool = False   # SynFlow elementwise kernel masks
     hidden_width: Optional[int] = None  # channel-slim override for conv1 out
@@ -335,7 +375,7 @@ class Bottleneck(nn.Module):
         use_add = self.shortcut and cin == self.features
         if use_add:
             out_features = self.features  # residual requires matching widths
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype,
                   axis_name=self.axis_name, weight_mask=self.weight_mask)
         dkw = dict(kw)
         dkw.pop("weight_mask")
@@ -370,13 +410,14 @@ class ResLayer(nn.Module):
 
     features: int
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.features // 2
-        kw = dict(act="lrelu", fused=self.fused, dtype=self.dtype,
+        kw = dict(act="lrelu", fused=self.fused, quant=self.quant, dtype=self.dtype,
                   axis_name=self.axis_name)
         y = ConvBnAct(mid, 1, 1, name="layer1", **kw)(x, train)
         y = ConvBnAct(self.features, 3, 1, name="layer2", **kw)(y, train)
@@ -408,6 +449,7 @@ class SPPBottleneck(nn.Module):
     kernel_sizes: Sequence[int] = (5, 9, 13)
     act: str = "silu"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False
     weight_mask: bool = False
     # channel-slim pins: hidden defaults to cin // 2 (input-derived, so a
@@ -423,7 +465,7 @@ class SPPBottleneck(nn.Module):
         hidden = (self.hidden_width if self.hidden_width is not None
                   else cin // 2)
         out = self.out_width if self.out_width is not None else self.features
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype,
                   use_mask=self.use_mask, axis_name=self.axis_name,
                   weight_mask=self.weight_mask)
         x = ConvBnAct(hidden, 1, 1, name="conv1", **kw)(x, train)
@@ -453,6 +495,7 @@ class CSPLayer(nn.Module):
     act: str = "silu"
     custom: bool = False
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False
     weight_mask: bool = False
     # channel-slim overrides: {bottleneck_index: (hidden_width, out_width),
@@ -472,7 +515,7 @@ class CSPLayer(nn.Module):
         # together, so one pin drives conv1 out + bottleneck widths
         hidden = (self.slim or {}).get("res", int(self.features *
                                                   self.expansion))
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype,
                   axis_name=self.axis_name, weight_mask=self.weight_mask)
 
         # conv1 is the residual-group leader when the chain is residual:
@@ -500,7 +543,7 @@ class CSPLayer(nn.Module):
                 act=self.act,
                 is_last=(i == self.n - 1),
                 custom=self.custom,
-                fused=self.fused,
+                fused=self.fused, quant=self.quant,
                 use_mask=self.use_mask,
                 weight_mask=self.weight_mask,
                 hidden_width=hw,
@@ -550,6 +593,7 @@ class Focus(nn.Module):
     act: str = "silu"
     order: str = "slice_cat"  # FocusCustom uses "pixel_unshuffle"
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False
     weight_mask: bool = False
     dtype: Optional[Dtype] = None
@@ -559,7 +603,7 @@ class Focus(nn.Module):
     def __call__(self, x, train: bool = False):
         x = space_to_depth(x, self.order)
         return ConvBnAct(self.features, self.kernel_size, self.stride,
-                         act=self.act, fused=self.fused,
+                         act=self.act, fused=self.fused, quant=self.quant,
                          use_mask=self.use_mask,
                          weight_mask=self.weight_mask, dtype=self.dtype,
                          axis_name=self.axis_name, name="conv")(x, train)

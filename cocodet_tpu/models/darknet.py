@@ -102,6 +102,7 @@ class CSPBackbone(nn.Module):
     act: str = "hard_swish"
     depthwise: bool = False  # standard variant's global depthwise switch
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False
     weight_mask: bool = False
     remat: bool = False  # rematerialize CSP stages (memory for FLOPs)
@@ -117,7 +118,7 @@ class CSPBackbone(nn.Module):
         down_k = _DOWN_KERNEL[self.variant]
         base = int(self.width * 64)
         base_depth = max(round(self.depth * 3), 1)
-        kw = dict(fused=self.fused, dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(fused=self.fused, quant=self.quant, dtype=self.dtype, axis_name=self.axis_name)
 
         slim = self.slim or {}
         outputs: Dict[str, Any] = {}
@@ -168,6 +169,7 @@ class Darknet(nn.Module):
     stem_out_channels: int = 32
     out_features: Sequence[str] = ("dark3", "dark4", "dark5")
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -175,7 +177,7 @@ class Darknet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
-        kw = dict(fused=self.fused, dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(fused=self.fused, quant=self.quant, dtype=self.dtype, axis_name=self.axis_name)
         num_blocks = self.DEPTH2BLOCKS[self.depth]
         c = self.stem_out_channels
 

@@ -40,6 +40,7 @@ class YOLOXHead(nn.Module):
     depthwise: bool = False
     prior_prob: float = 1e-2
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False    # ChannelMask after each stem/tower conv
     slim: Optional[Any] = None  # {conv_name: out_width} from slim_channels
     dtype: Optional[Dtype] = None
@@ -52,7 +53,7 @@ class YOLOXHead(nn.Module):
     def __call__(self, xin: Sequence[Any], train: bool = False):
         assert len(xin) == self.num_levels
         feat = int(256 * self.width)
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype,
                   use_mask=self.use_mask, axis_name=self.axis_name)
 
         outputs: List[dict] = []

@@ -72,6 +72,7 @@ class YOLOPAFPN(nn.Module):
     act: str = "hard_swish"
     depthwise: bool = False  # standard variant only
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False
     weight_mask: bool = False
     remat: bool = False
@@ -87,7 +88,7 @@ class YOLOPAFPN(nn.Module):
         in_feats: Tuple[str, ...] = tuple(cfg["in_features"])
         widths = [int(c * self.width) for c in cfg["in_channels"]]
         L = len(widths)
-        kw = dict(act=self.act, fused=self.fused, dtype=self.dtype,
+        kw = dict(act=self.act, fused=self.fused, quant=self.quant, dtype=self.dtype,
                   axis_name=self.axis_name)
         csp_kw = dict(
             n=round(3 * self.depth),
@@ -116,7 +117,7 @@ class YOLOPAFPN(nn.Module):
             out_features=in_feats,
             act=self.act,
             depthwise=self.depthwise,
-            fused=self.fused,
+            fused=self.fused, quant=self.quant,
             use_mask=self.use_mask,
             weight_mask=self.weight_mask,
             remat=self.remat,

@@ -23,12 +23,13 @@ class YOLOFPN(nn.Module):
     depth: int = 53
     in_features: Sequence[str] = ("dark3", "dark4", "dark5")
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(act="lrelu", fused=self.fused, dtype=self.dtype,
+        kw = dict(act="lrelu", fused=self.fused, quant=self.quant, dtype=self.dtype,
                   axis_name=self.axis_name)
 
         def embedding(x, widths, prefix):
@@ -40,7 +41,7 @@ class YOLOFPN(nn.Module):
             return x
 
         feats = Darknet(depth=self.depth, out_features=self.in_features,
-                        fused=self.fused, dtype=self.dtype,
+                        fused=self.fused, quant=self.quant, dtype=self.dtype,
                         axis_name=self.axis_name, name="backbone")(x, train)
         x2, x1, x0 = (feats[f] for f in self.in_features)
 

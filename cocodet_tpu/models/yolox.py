@@ -66,6 +66,7 @@ class YOLOX(nn.Module):
     depth: float = 1.0
     width: float = 1.0
     fused: bool = False
+    quant: Optional[str] = None  # int8 PTQ mode (compress/quantize.py)
     use_mask: bool = False
     weight_mask: bool = False
     remat: bool = False
@@ -79,12 +80,12 @@ class YOLOX(nn.Module):
             from .yolo_fpn import YOLOFPN
 
             assert not return_taps, "yolov3 has no distill taps"
-            backbone = YOLOFPN(fused=self.fused, dtype=self.dtype,
+            backbone = YOLOFPN(fused=self.fused, quant=self.quant, dtype=self.dtype,
                                axis_name=self.axis_name, name="backbone")
             head = YOLOXHead(
                 num_classes=self.num_classes, width=self.width,
                 num_levels=len(self.spec.strides), act=self.spec.act,
-                fused=self.fused, dtype=self.dtype,
+                fused=self.fused, quant=self.quant, dtype=self.dtype,
                 axis_name=self.axis_name, name="head")
             return head(backbone(x, train), train)
         backbone = YOLOPAFPN(
@@ -93,7 +94,7 @@ class YOLOX(nn.Module):
             width=self.width,
             act=self.spec.act,
             depthwise=self.spec.depthwise,
-            fused=self.fused,
+            fused=self.fused, quant=self.quant,
             use_mask=self.use_mask,
             weight_mask=self.weight_mask,
             remat=self.remat,
@@ -108,7 +109,7 @@ class YOLOX(nn.Module):
             num_levels=len(self.spec.strides),
             act=self.spec.act,
             depthwise=self.spec.depthwise,
-            fused=self.fused,
+            fused=self.fused, quant=self.quant,
             use_mask=self.use_mask,
             slim=(self.slim or {}).get("head"),
             dtype=self.dtype,

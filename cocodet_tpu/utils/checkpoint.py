@@ -61,6 +61,10 @@ def load_matched(target: Any, ckpt: Any) -> Any:
                 "shape mismatch for %s: ckpt %s vs model %s; keeping init",
                 "/".join(map(str, k)), np.shape(c), np.shape(v))
             out[k] = v
+        elif np.asarray(c).dtype == np.int8:
+            # int8 PTQ kernels (compress/quantize.py): the w8a8 model inits
+            # float kernels, but the quantized dtype must survive the load
+            out[k] = jax.numpy.asarray(c)
         else:
             out[k] = jax.numpy.asarray(c, dtype=np.asarray(v).dtype) if hasattr(v, "dtype") else c
     return unflatten_dict(out)

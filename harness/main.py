@@ -62,12 +62,14 @@ def build_model_and_vars(cfg, rng_seed: int = 0):
 
         slim = load_slim_spec(cfg["slim_spec"])
         print(f"channel-slim spec: {len(slim)} csp layers")
+    quant = cfg.get("quant")  # "w8a8": int8 PTQ ckpt (compress/quantize.py)
     model = build_model(
         name,
         depth=float(mcfg.get("depth", 0.67)),
         width=float(mcfg.get("width", 0.75)),
         fused=True,
         slim=slim,
+        quant=quant,
         dtype=jnp.bfloat16 if cfg.get("half", True) else jnp.float32,
     )
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -90,6 +92,16 @@ def build_model_and_vars(cfg, rng_seed: int = 0):
             tree = loaded.get("model", loaded)
             variables = {"params": load_matched(
                 variables["params"], tree.get("params", tree))}
+            if quant == "w8a8":
+                # int8 PTQ ckpt (tools/quantize_model.py): per-conv act/
+                # weight scales ride in the "quant" collection
+                if "quant" not in tree:
+                    raise ValueError(
+                        f"config asks for quant={quant!r} but {ckpt} has no "
+                        "'quant' collection — produce one with "
+                        "tools/quantize_model.py")
+                variables["quant"] = jax.tree_util.tree_map(
+                    jnp.asarray, tree["quant"])
         print(f"loaded checkpoint {ckpt}")
     else:
         print("WARNING: no checkpoint — random weights (dummy-quality output)")
