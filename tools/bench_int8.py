@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""TPU A/B: bf16 vs int8 (w8a8) inference on the pruned+slimmed
+YOLOX-M-P6 at 640/b128/K=1024 — the bench.py operating point.
+
+Construction (prune -> merge -> slim -> calibrate -> quantize) happens on
+the host CPU backend; the TPU sees one compiled program per measured
+variant (use --only to keep it to exactly one per process — the tunnel's
+remote compiles are 3-6 min each and occasionally wedge).
+
+Calibration uses random uniform [0,255) images: for *throughput* A/B the
+scales only need to be realistic magnitudes, not accuracy-bearing (the
+accuracy story is tools/quantize_model.py + eval_harness_ckpt.py on the
+synthetic chain: int8 AP50 0.8241 vs bf16 0.8217 — neutral).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+BATCH, SIZE = 128, 640
+STRIDES = (8, 16, 32, 64)
+
+
+def main():
+    ap = argparse.ArgumentParser("bench_int8")
+    ap.add_argument("--only", choices=["bf16", "w8a8"], default=None,
+                    help="measure just one variant (one TPU program)")
+    ap.add_argument("-b", "--batch", type=int, default=BATCH)
+    ap.add_argument("--size", type=int, default=SIZE)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    batch, size = args.batch, args.size
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import bench
+    from cocodet_tpu.compress import quantize_model
+    from cocodet_tpu.models import build_model
+    from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
+
+    cfg = PostprocessConfig(conf_threshold=0.001, nms_threshold=0.55,
+                            pre_nms_topk=1024, max_det=300,
+                            use_pallas=False)
+
+    print("# building slim model on host CPU", flush=True)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        slim_model, slim_vars = bench._build_slim()
+        slim_vars = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), dict(slim_vars))
+        spec = slim_model.slim
+        if args.only != "bf16":
+            print("# calibrating + quantizing on host CPU", flush=True)
+            calib_model = build_model("yolox-p6", depth=0.67, width=0.75,
+                                      fused=True, slim=spec,
+                                      dtype=jnp.bfloat16, quant="calib")
+            calib_imgs = jnp.asarray(
+                np.random.RandomState(1).rand(2, 256, 256, 3) * 255,
+                jnp.float32)
+            qvars = quantize_model(calib_model, slim_vars, [calib_imgs])
+            q_model = build_model("yolox-p6", depth=0.67, width=0.75,
+                                  fused=True, slim=spec,
+                                  dtype=jnp.bfloat16, quant="w8a8")
+
+    device = jax.devices()[0]
+    imgs = jax.device_put(
+        jnp.asarray(np.random.RandomState(0).rand(batch, size, size, 3) * 255,
+                    jnp.float32), device)
+
+    def measure(tag, model, variables):
+        variables = jax.device_put(variables, device)
+
+        @jax.jit
+        def fwd(images):
+            return postprocess(model.apply(variables, images), STRIDES, cfg)
+
+        print(f"# compiling + timing {tag}", flush=True)
+        t = bench._timeit(fwd, imgs)
+        print(f"{tag} b{batch}: {1e3 * t:.2f} ms ({batch / t:.1f} img/s)",
+              flush=True)
+
+    if args.only in (None, "bf16"):
+        measure("bf16 ", slim_model, slim_vars)
+    if args.only in (None, "w8a8"):
+        measure("w8a8 ", q_model, qvars)
+
+
+if __name__ == "__main__":
+    main()
