@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--slim", action="store_true",
                     help="use the 49%%-pruned channel-slimmed model "
                          "(bench.py's random tied pattern)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the pallas overlap-matrix NMS kernel")
     args = ap.parse_args()
 
     import jax
@@ -81,7 +83,8 @@ def main():
             row.append(f"+decode {1e3 * t_dec:7.2f} ms")
         for k in (args.topk if args.mode in ("full", "all") else []):
             cfg = PostprocessConfig(conf_threshold=0.001, nms_threshold=0.55,
-                                    pre_nms_topk=k, max_det=300)
+                                    pre_nms_topk=k, max_det=300,
+                                    use_pallas=args.pallas)
 
             def full(im, _cfg=cfg):
                 return postprocess(model.apply(variables, im), strides, _cfg)

@@ -200,9 +200,14 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
             exp3.prune_score_batches = 1
             exp3.max_epoch = min(tiny_epochs, 10)  # bound channels removed
         elif synth:
-            exp3.prune_interval = 0.5
+            # gentle-surgery schedule (measured r3: 40ch x 4 events/epoch
+            # with 3 settling epochs reaches prune AP50 0.8442 vs 0.8190
+            # for 64ch x 2 events running to the last epoch, same 1920
+            # channels removed)
+            exp3.prune_interval = 0.25
             exp3.prune_score_batches = 2
-            exp3.prune_channels = getattr(exp3, "prune_channels", 64)
+            exp3.prune_channels = getattr(exp3, "prune_channels", 40)
+            exp3.prune_end_epoch = max(exp3.max_epoch - 3, 1)
         if prune_set:
             exp3.merge(prune_set)
         p = Pruner(exp3, args)
@@ -238,7 +243,22 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     from cocodet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     logger.info("=== pipeline stage 5/6: compress + slim ===")
-    ckpt = load_checkpoint(tune_ckpt)  # tuned PRUNED model, masks included
+    # Recovery guard: deploy the better of (tuned, pruned). With the
+    # gentle-surgery prune schedule the settling epochs already recover
+    # accuracy (prune AP50 0.8442 vs 0.8190 on the synth chain) and a
+    # recovery tune can regress; the stage evals above tell us which
+    # checkpoint actually scored higher.
+    deploy_ckpt = tune_ckpt
+    if (results.get("tune_AP50") is not None
+            and results.get("prune_AP50") is not None
+            and results["tune_AP50"] < results["prune_AP50"]):
+        logger.info("tune AP50 %.4f < prune AP50 %.4f — deploying the "
+                    "pruned checkpoint", results["tune_AP50"],
+                    results["prune_AP50"])
+        deploy_ckpt = prune_ckpt
+    results["deploy_stage"] = ("prune" if deploy_ckpt is prune_ckpt
+                               else "tune")
+    ckpt = load_checkpoint(deploy_ckpt)  # PRUNED model, masks included
     pruned_vars = ckpt["model"]
     merged = merge_for_deployment(pruned_vars, eps=1e-3)
     save_checkpoint({"model": merged}, False, out_dir, "pipe_merged")
