@@ -145,8 +145,14 @@ class MosaicDetection:
             canvas[y1:y2, x1:x2] = img[sy1:sy2, sx1:sx2]
             padw, padh = x1 - sx1, y1 - sy1
             if labels.size > 0:
-                all_labels.append(
-                    adjust_box_anns(labels, s, padw, padh, 2 * iw, 2 * ih))
+                # adjust ONLY the box columns: labels are [x1 y1 x2 y2 cls]
+                # and adjust_box_anns' 0::2 stride would otherwise scale
+                # and clip the CLASS column (upstream mosaicdetection.py
+                # shifts cols 0-3 individually; same here)
+                adj = labels.copy()
+                adj[:, :4] = adjust_box_anns(labels[:, :4].copy(), s, padw,
+                                             padh, 2 * iw, 2 * ih)
+                all_labels.append(adj)
 
         labels = (np.concatenate(all_labels, 0) if all_labels
                   else np.zeros((0, 5), np.float32))

@@ -75,6 +75,11 @@ class Exp(BaseExp):
         self.device_aug = False
         self.device_aug_src_scale = 2.0
         self.device_aug_max_boxes = 120
+        # device_mosaic: ALSO move mosaic compose + random affine + mixup
+        # onto the accelerator (data/device_mosaic.py) — the host keeps
+        # only decode + RNG.  Implies the device TrainTransform stage.
+        self.device_mosaic = False
+        self.device_mosaic_max_boxes = 60
 
         # ---------------- training config ----------------
         self.num_accumulate = 1
@@ -162,7 +167,22 @@ class Exp(BaseExp):
                                          mosaic=not no_aug)
         collate_fn = None
         wrapped = mosaic
-        if device_aug:
+        if getattr(self, "device_mosaic", False):
+            from ..data.device_mosaic import (DeviceMosaicDataset,
+                                              make_mosaic_collate)
+
+            wrapped = DeviceMosaicDataset(
+                dataset, img_size=self.input_size, degrees=self.degrees,
+                translate=self.translate, mosaic_scale=self.mosaic_scale,
+                mixup_scale=self.mixup_scale, shear=self.shear,
+                enable_mixup=self.enable_mixup,
+                mosaic_prob=self.mosaic_prob, mixup_prob=self.mixup_prob,
+                mosaic=not no_aug,
+                rng=random.Random(1_000_003 * (seed + 1) + rank))
+            collate_fn = make_mosaic_collate(
+                self.input_size,
+                max_boxes=getattr(self, "device_mosaic_max_boxes", 60))
+        elif device_aug:
             from ..data.device_aug import DeviceAugDataset, make_device_collate
 
             scale = getattr(self, "device_aug_src_scale", 2.0)

@@ -103,7 +103,8 @@ def main():
             # chain via tok added to the input so iterations serialize
             outs, _ = model.apply(
                 variables, images + tok, train=True, mutable=["batch_stats"])
-            sums = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            sums = sum(jnp.sum(o.astype(jnp.float32))
+                       for o in jax.tree_util.tree_leaves(outs))
             return sums * 1e-12, sums
 
         res["fwd"] = bench("model fwd (train)", fwd_only, jnp.float32(0))

@@ -224,8 +224,12 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
 
     if _runs("tune"):
         logger.info("=== pipeline stage 4/6: recovery fine-tune ===")
+        # synth default lr 8e-6 (lr_scale 0.032): after the gentle-surgery
+        # prune schedule the 2.5e-5 recovery tune DIVERGES (tune AP50
+        # 0.246/0.24 at 2.5e-5/7.5e-5) while 8e-6 converges to 0.8446 and
+        # the deployed slim model self-evals at 0.8450 (r3, outputs/r3_tuneC)
         exp4 = stage_exp("exps/tune/yolox_m_p6_tune_distill.py", "pipe_tune",
-                         epoch_scale=0.5, lr_scale=0.1)
+                         epoch_scale=0.5, lr_scale=0.032)
         exp4.init_ckpt = prune_ckpt
         # distill toward the DENSE phase-2 model, not the pruned init: the
         # recovery target is the unpruned function
