@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--modes", nargs="+", default=["thread", "process"])
     ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--device-mosaic", action="store_true",
+                    help="measure the device-mosaic HOST side (decode + "
+                         "collate only; mosaic/affine/mixup run on the "
+                         "accelerator, overlapped with the train step)")
     args = ap.parse_args()
 
     data_dir = args.data_dir
@@ -51,14 +55,24 @@ def main():
             ds = COCODataset(data_dir=data_dir,
                              json_file="instances_train2017.json",
                              name="train2017", img_size=size, preproc=None)
-            mosaic = MosaicDetection(
-                ds, mosaic=True, img_size=size,
-                preproc=TrainTransform(max_labels=50),
-                mosaic_prob=1.0, enable_mixup=True, mixup_prob=0.5)
+            collate_fn = None
+            if args.device_mosaic:
+                from cocodet_tpu.data.device_mosaic import (
+                    DeviceMosaicDataset, make_mosaic_collate)
+
+                wrapped = DeviceMosaicDataset(
+                    ds, img_size=size, mosaic_prob=1.0, enable_mixup=True,
+                    mixup_prob=0.5)
+                collate_fn = make_mosaic_collate(size)
+            else:
+                wrapped = MosaicDetection(
+                    ds, mosaic=True, img_size=size,
+                    preproc=TrainTransform(max_labels=50),
+                    mosaic_prob=1.0, enable_mixup=True, mixup_prob=0.5)
             sampler = InfiniteSampler(len(ds), seed=0)
             bs = YoloBatchSampler(sampler, args.batch_size, mosaic=True)
-            loader = DetectionLoader(mosaic, bs, num_workers=nw, seed=0,
-                                     mode=mode)
+            loader = DetectionLoader(wrapped, bs, num_workers=nw, seed=0,
+                                     mode=mode, collate_fn=collate_fn)
             it = iter(loader)
             next(it)  # warm the pool
             t0 = time.perf_counter()
