@@ -256,28 +256,10 @@ class Trainer:
         with the previous train step."""
         imgs, labels, infos, ids = self.data_iter.next()
         if isinstance(imgs, dict):
-            from ..data.device_aug import train_aug_batch
+            from ..data.device_aug import apply_device_preproc
 
-            exp = self.exp
-            if "mosaic_tiles" in imgs:
-                # device-mosaic path: mosaic+affine+mixup program feeds
-                # the TrainTransform program (data/device_mosaic.py)
-                from ..data.device_mosaic import mosaic_mixup_batch
-
-                img_b, hw_b, boxes_b, cls_b, nv_b = mosaic_mixup_batch(
-                    imgs["mosaic_tiles"], imgs["hw5"], imgs["nhw5"],
-                    imgs["boxes5"], imgs["classes5"], imgs["nvalid5"],
-                    imgs["mrand"], out_size=tuple(self.input_size))
-                imgs, labels = train_aug_batch(
-                    img_b, hw_b, boxes_b, cls_b, nv_b, imgs["randoms"],
-                    out_size=tuple(self.input_size),
-                    max_labels=exp.max_labels_mosaic,
-                    flip_prob=exp.flip_prob, hsv_prob=exp.hsv_prob)
-            else:
-                imgs, labels = train_aug_batch(
-                    **imgs, out_size=tuple(self.input_size),
-                    max_labels=exp.max_labels_mosaic,
-                    flip_prob=exp.flip_prob, hsv_prob=exp.hsv_prob)
+            imgs, labels = apply_device_preproc(
+                self.exp, tuple(self.input_size), imgs)
         return imgs, labels, infos, ids
 
     def _log_progress(self, it: int, cur_size):

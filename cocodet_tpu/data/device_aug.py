@@ -282,6 +282,35 @@ def mixup_batch(images_a, labels_a, images_b, labels_b):
     return imgs, both[:, : labels_a.shape[1]]
 
 
+def apply_device_preproc(exp, input_size: Tuple[int, int], batch):
+    """Run the on-device preprocessing program(s) on a raw-buffer batch
+    dict produced by make_device_collate / make_mosaic_collate.
+
+    Shared by Trainer._next_batch and tools/bench_train.py --loader so the
+    measured pipeline IS the production pipeline.  Returns (imgs, labels)
+    as float32 device arrays; dispatch is async, so the programs overlap
+    the previous train step.
+    """
+    if "mosaic_tiles" in batch:
+        # device-mosaic path: mosaic+affine+mixup program feeds the
+        # TrainTransform program (data/device_mosaic.py)
+        from .device_mosaic import mosaic_mixup_batch
+
+        img_b, hw_b, boxes_b, cls_b, nv_b = mosaic_mixup_batch(
+            batch["mosaic_tiles"], batch["hw5"], batch["nhw5"],
+            batch["boxes5"], batch["classes5"], batch["nvalid5"],
+            batch["mrand"], out_size=tuple(input_size))
+        return train_aug_batch(
+            img_b, hw_b, boxes_b, cls_b, nv_b, batch["randoms"],
+            out_size=tuple(input_size),
+            max_labels=exp.max_labels_mosaic,
+            flip_prob=exp.flip_prob, hsv_prob=exp.hsv_prob)
+    return train_aug_batch(
+        **batch, out_size=tuple(input_size),
+        max_labels=exp.max_labels_mosaic,
+        flip_prob=exp.flip_prob, hsv_prob=exp.hsv_prob)
+
+
 class DeviceAugDataset:
     """Wraps MosaicDetection (built with ``preproc=None``) so fetch returns
     the RAW composed image + xyxy labels + the per-item random vector drawn

@@ -31,9 +31,27 @@ def main():
     ap.add_argument("--width", type=float, default=0.75)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--max-labels", type=int, default=50)
+    ap.add_argument("--loader", metavar="DATA_DIR", default=None,
+                    help="end-to-end mode: pull real batches through "
+                         "exp.get_data_loader + DevicePrefetcher and "
+                         "measure steady-state img/s INCLUDING the input "
+                         "stage (decode on host workers; aug per "
+                         "--pipeline)")
+    ap.add_argument("--pipeline",
+                    choices=["host", "device-aug", "device-mosaic"],
+                    default="device-mosaic",
+                    help="where the train augmentation runs in --loader "
+                         "mode (device-mosaic = host keeps decode+RNG "
+                         "only)")
+    ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke-testing only)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
     from flax import traverse_util
@@ -57,6 +75,11 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     b, s = args.batch_size, args.size
+
+    if args.loader:
+        _bench_with_loader(args, model, tx, rng)
+        return
+
     imgs = jnp.asarray(np.random.RandomState(0).rand(b, s, s, 3) * 255,
                        jnp.float32)
     # realistic label density: ~8 boxes/img (COCO mean ~7.3), padded
@@ -91,6 +114,68 @@ def main():
     loss = float(metrics["loss"])  # forces the whole chain
     dt = (time.perf_counter() - t0) / args.iters
     print(f"train step: {dt * 1e3:.1f} ms/step @ b{b}/{s}px "
+          f"({b / dt:.1f} img/s, loss={loss:.3f})")
+
+
+def _bench_with_loader(args, model, tx, rng):
+    """End-to-end steady-state throughput: real DetectionLoader (host
+    decode workers) -> DevicePrefetcher (async H2D) -> on-device aug
+    programs (per --pipeline) -> jitted train step.  This is EXACTLY the
+    Trainer's production input path (core/trainer.py _next_batch uses the
+    same apply_device_preproc), so the number answers "what does one chip
+    sustain including input?" rather than the step-only upper bound.
+
+    Sync discipline: the steps chain through `state` and the loop ends
+    with a host scalar readback, the only trustworthy barrier under this
+    TPU's remote tunnel (see main()).
+    """
+    from cocodet_tpu.core.train_state import (create_train_state,
+                                              make_train_step)
+    from cocodet_tpu.data.device_aug import apply_device_preproc
+    from cocodet_tpu.data.samplers import DevicePrefetcher
+    from cocodet_tpu.exp import get_exp
+
+    b, s = args.batch_size, args.size
+    exp = get_exp(exp_name="yolox-m-p6")
+    exp.depth, exp.width = args.depth, args.width
+    exp.data_dir = args.loader
+    exp.input_size = exp.test_size = (s, s)
+    exp.multiscale_range = 0
+    exp.data_num_workers = args.workers
+    exp.mosaic_prob = 1.0
+    exp.enable_mixup = True
+    exp.device_aug = args.pipeline in ("device-aug", "device-mosaic")
+    exp.device_mosaic = args.pipeline == "device-mosaic"
+
+    loader = exp.get_data_loader(b, seed=0)
+    prefetcher = DevicePrefetcher(loader)
+
+    def next_batch():
+        imgs, labels, _, _ = prefetcher.next()
+        if isinstance(imgs, dict):
+            imgs, labels = apply_device_preproc(exp, (s, s), imgs)
+        return imgs, labels
+
+    imgs, labels = next_batch()
+    state = create_train_state(model, tx, rng, imgs[:1])
+    step = make_train_step(model, tx, strides=(8, 16, 32, 64),
+                           num_classes=exp.num_classes)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, imgs, labels, use_l1=False)
+    _ = float(metrics["loss"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", flush=True)
+    # second step compiles nothing new -> from here on it's steady state
+    state, metrics = step(state, *next_batch(), use_l1=False)
+    _ = float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, *next_batch(), use_l1=False)
+    loss = float(metrics["loss"])  # forces the whole chain
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"end-to-end [{args.pipeline}, {args.workers}w]: "
+          f"{dt * 1e3:.1f} ms/step @ b{b}/{s}px "
           f"({b / dt:.1f} img/s, loss={loss:.3f})")
 
 
