@@ -198,7 +198,14 @@ VARIANTS = {
     "occlusion": (0.50, (0.08, 0.45), 1.0, 3, False),
     "crowding":  (0.45, (0.05, 0.22), 3.0, 0, False),
     "texture":   (0.30, (0.08, 0.45), 1.0, 0, True),
+    # robustness-training mix: each image drawn from one of the four
+    # axes above, so one training run sees occluders, 3x density AND
+    # textured instances (the val sets stay single-variant for clean
+    # per-axis measurement)
+    "mixed": None,
 }
+
+_MIX = ("default", "occlusion", "crowding", "texture")
 
 
 def make_synthetic_coco(root: str, n_train: int = 256, n_val: int = 64,
@@ -210,8 +217,8 @@ def make_synthetic_coco(root: str, n_train: int = 256, n_val: int = 64,
     import cv2
 
     assert 1 <= n_classes <= len(SYNTH_CLASSES)
-    max_iou, scale_rng, obj_mult, n_occluders, textured = VARIANTS[variant]
-    max_objects = max(int(max_objects * obj_mult), 1)
+    assert variant in VARIANTS
+    base_max_objects = max_objects
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
     cats = [{"id": COCO_CLASS_ID[i], "name": SYNTH_CLASSES[i],
              "supercategory": "shape"} for i in range(n_classes)]
@@ -224,13 +231,18 @@ def make_synthetic_coco(root: str, n_train: int = 256, n_val: int = 64,
         images, annotations = [], []
         ann_id = 1
         for i in range(n_images):
+            img_variant = (_MIX[int(rs.randint(len(_MIX)))]
+                           if variant == "mixed" else variant)
+            (max_iou, scale_rng, obj_mult, n_occluders,
+             textured) = VARIANTS[img_variant]
+            max_objects = max(int(base_max_objects * obj_mult), 1)
             h = int(rs.randint(size_range[0], size_range[1] + 1))
             w = int(rs.randint(size_range[0], size_range[1] + 1))
             img = _draw_background(rs, h, w)
             _draw_distractors(cv2, rs, img, int(rs.randint(0, 6)))
             existing: list = []
             centers = None
-            if variant == "crowding":
+            if img_variant == "crowding":
                 centers = [(rs.uniform(0.2 * w, 0.8 * w),
                             rs.uniform(0.2 * h, 0.8 * h))
                            for _ in range(int(rs.randint(1, 4)))]

@@ -50,7 +50,7 @@ def test_variants(tmp_path):
     from cocodet_tpu.data.synthetic import make_synthetic_coco
 
     stats = {}
-    for variant in ("default", "occlusion", "crowding", "texture"):
+    for variant in ("default", "occlusion", "crowding", "texture", "mixed"):
         root = make_synthetic_coco(
             str(tmp_path / variant), n_train=12, n_val=2,
             size_range=(160, 224), seed=5, variant=variant)

@@ -356,7 +356,8 @@ def main():
     ap.add_argument("--synth-size", type=int, default=256)
     ap.add_argument("--synth-images", type=int, default=256)
     ap.add_argument("--synth-variant", default="default",
-                    choices=["default", "occlusion", "crowding", "texture"],
+                    choices=["default", "occlusion", "crowding", "texture",
+                             "mixed"],
                     help="synthetic-benchmark family member "
                          "(data/synthetic.py VARIANTS)")
     ap.add_argument("--cpu", action="store_true",
