@@ -178,8 +178,14 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
 
     n_img = 0
 
+    coco_id = np.asarray(COCO_CLASS_ID, np.int64)
+
     def drain(res, infos):
-        """Host-side conversion of one finished batch."""
+        """Host-side conversion of one finished batch.  Vectorized: the
+        scale/clip/xywh math runs as whole-batch numpy and the per-det dict
+        build iterates python lists (one .tolist() per field), not numpy
+        scalars — ~5x less host time per image than the naive per-box loop
+        on this 1-core host."""
         nonlocal n_img
         timer.tic()
         boxes = np.asarray(res.boxes)
@@ -191,27 +197,25 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
             scale = min(cfg["img_size"] / h, cfg["img_size"] / w)
             image_id = int(os.path.splitext(name)[0].lstrip("0") or 0) \
                 if name.split(".")[0].isdigit() else name
-            any_det = False
-            for j in range(boxes.shape[1]):
-                if not valid[i, j]:
-                    break
-                x1, y1, x2, y2 = boxes[i, j] / scale
-                x1, x2 = np.clip([x1, x2], 0, w)
-                y1, y2 = np.clip([y1, y2], 0, h)
-                results.append({
-                    "image_id": image_id,
-                    "category_id": COCO_CLASS_ID[int(classes[i, j])],
-                    "bbox": [round(float(x1), 2), round(float(y1), 2),
-                             round(float(x2 - x1), 2),
-                             round(float(y2 - y1), 2)],
-                    "score": round(float(scores[i, j]), 5),
-                    "segmentation": [],
-                })
-                any_det = True
-            if not any_det:
+            nv = int(valid[i].sum())  # valid dets are prefix-packed
+            if nv == 0:
                 # dummy record for empty images (ref common/utils.py:61-71)
                 results.append({"image_id": image_id, "category_id": 1,
                                 "bbox": [0.0, 0.0, 0.0, 0.0], "score": 0.0,
+                                "segmentation": []})
+                n_img += 1
+                continue
+            b = boxes[i, :nv].astype(np.float64) / scale
+            x1 = np.clip(b[:, 0], 0, w)
+            y1 = np.clip(b[:, 1], 0, h)
+            bw = np.clip(b[:, 2], 0, w) - x1
+            bh = np.clip(b[:, 3], 0, h) - y1
+            xywh = np.round(np.stack([x1, y1, bw, bh], 1), 2).tolist()
+            sc = np.round(scores[i, :nv].astype(np.float64), 5).tolist()
+            cat = coco_id[classes[i, :nv].astype(np.int64)].tolist()
+            for bb, s, c in zip(xywh, sc, cat):
+                results.append({"image_id": image_id, "category_id": c,
+                                "bbox": bb, "score": s,
                                 "segmentation": []})
             n_img += 1
         timer.toc("convert")
