@@ -50,7 +50,11 @@ def _greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     within at most K iterations (typically <10 on detection output).
 
     use_pallas: build the overlap matrix with the tiled VMEM kernel
-    (ops/pallas/nms_kernels.py) — requires K % 128 == 0.
+    (ops/pallas/nms_kernels.py) — requires K % 128 == 0.  Measured A/B at
+    the production point (slim M-P6, 640/b128/K=1024, v5e): 2408.9 img/s
+    with the kernel vs 2430.1 without — XLA's fusion of the
+    tile-sequential path is already at parity, so the kernel is kept as a
+    tested alternative, not the default.
     """
     k = boxes.shape[0]
     if max_iters is None:

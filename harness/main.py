@@ -133,7 +133,9 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
         rmmop=tuple(pp["rmmop"]) if pp.get("rmmop") else None,
         pre_nms_topk=int(pp.get("max_num_nms", 2048)),
         max_det=int(pp.get("max_num_det", 300)),
-        use_pallas=bool(pp.get("use_pallas", True)),
+        # measured default: the XLA NMS edges the pallas kernel at the
+        # production point (2430 vs 2409 img/s @640/b128/K=1024, ROADMAP)
+        use_pallas=bool(pp.get("use_pallas", False)),
     )
 
     aug = cfg.get("input_aug", True)
