@@ -1,6 +1,9 @@
-"""End-of-round benchmark: pruned + channel-slimmed YOLOX-M-P6 inference
-throughput at 640px (the reference's competition model class), full
-decode+NMS postprocess included.
+"""End-of-round benchmark: pruned + channel-slimmed + int8-quantized
+(w8a8) YOLOX-M-P6 inference throughput at 640px (the reference's
+competition model class pushed one compression axis further), full
+decode+NMS postprocess included.  ``--bf16`` reproduces the round-2
+bf16-slim headline; accuracy parity for w8a8 is documented in ROADMAP.md
+(synthetic-chain self-eval int8 0.8241 AP50 vs bf16 0.8217).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} as soon as
 the headline measurement finishes.  Structure (round-3 rework after the
@@ -116,7 +119,7 @@ def _build_slim():
     return model, slimmed
 
 
-def main(dense=False):
+def main(dense=False, bf16=False):
     import jax
     import jax.numpy as jnp
 
@@ -139,6 +142,30 @@ def main(dense=False):
         slim_model, slim_vars = _build_slim()
         slim_vars = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.float32), slim_vars)
+        if not bf16:
+            # w8a8 PTQ on top of the slim model: per-out-channel int8
+            # weights + calibrated per-tensor activation scales
+            # (compress/quantize.py).  Accuracy-neutral on the synthetic
+            # chain (AP50 0.8241 int8 vs 0.8217 bf16,
+            # tools/quantize_model.py + eval_harness_ckpt.py) and
+            # measured +5.6% on the v5e (2565 vs 2430 img/s,
+            # tools/bench_int8.py).  Calibration is host-CPU eager math —
+            # still exactly ONE TPU program below.
+            _progress("calibrating + quantizing (w8a8) on host CPU")
+            from cocodet_tpu.compress import quantize_model
+            from cocodet_tpu.models import build_model
+
+            spec = slim_model.slim
+            calib_model = build_model("yolox-p6", depth=0.67, width=0.75,
+                                      fused=True, slim=spec,
+                                      dtype=jnp.bfloat16, quant="calib")
+            calib_imgs = jnp.asarray(
+                np.random.RandomState(1).rand(2, 256, 256, 3) * 255,
+                jnp.float32)
+            slim_vars = quantize_model(calib_model, slim_vars, [calib_imgs])
+            slim_model = build_model("yolox-p6", depth=0.67, width=0.75,
+                                     fused=True, slim=spec,
+                                     dtype=jnp.bfloat16, quant="w8a8")
     _progress("transferring params + inputs to device")
     device = jax.devices()[0]
     slim_vars = jax.device_put(slim_vars, device)
@@ -157,8 +184,10 @@ def main(dense=False):
     baseline_2x = 2 * 520.0
     # Headline line FIRST — nothing else sits between the measurement and
     # the driver's parser.
+    metric = ("yolox_m_p6_pruned49_slim32_infer_640_bs128" if bf16 else
+              "yolox_m_p6_pruned49_slim32_w8a8_infer_640_bs128")
     print(json.dumps({
-        "metric": "yolox_m_p6_pruned49_slim32_infer_640_bs128",
+        "metric": metric,
         "value": round(slim_img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(slim_img_s / baseline_2x, 4),
@@ -245,6 +274,6 @@ def _run_with_watchdog():
 
 if __name__ == "__main__":
     if os.environ.get("_COCODET_BENCH_CHILD") == "1":
-        main(dense="--dense" in sys.argv)
+        main(dense="--dense" in sys.argv, bf16="--bf16" in sys.argv)
     else:
         raise SystemExit(_run_with_watchdog())
