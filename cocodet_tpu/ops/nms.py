@@ -40,6 +40,19 @@ class NMSResult(NamedTuple):
     valid: jnp.ndarray    # (..., max_det) bool
 
 
+def register_export_serialization() -> None:
+    """Register NMSResult with jax.export so decoded graphs serialize /
+    deserialize (tools/export_stablehlo.py, tools/run_stablehlo.py).
+    Idempotent per process."""
+    from jax import export as jexport
+
+    try:
+        jexport.register_namedtuple_serialization(
+            NMSResult, serialized_name="cocodet_tpu.NMSResult")
+    except ValueError:
+        pass  # already registered
+
+
 def _greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
                  max_iters: Optional[int] = None,
                  use_pallas: bool = False) -> jnp.ndarray:

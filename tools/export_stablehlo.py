@@ -34,16 +34,32 @@ def main():
     ap.add_argument("--tsize", type=int, default=640)
     ap.add_argument("--decode", action="store_true",
                     help="include decode+NMS in the exported graph")
+    ap.add_argument("--slim-spec", default=None,
+                    help="channel-slim spec json: export the slimmed "
+                         "deployment model (pipeline stage-5 artifact)")
+    ap.add_argument("--quant", default=None, choices=[None, "w8a8"],
+                    help="export the int8-PTQ model (ckpt must carry the "
+                         "'quant' collection from tools/quantize_model.py)")
+    ap.add_argument("--depth", type=float, default=None,
+                    help="model depth for --slim-spec/--quant builds "
+                         "(default: from the exp)")
+    ap.add_argument("--width", type=float, default=None)
     ap.add_argument("--conf", type=float, default=0.001)
     ap.add_argument("--nms", type=float, default=0.55)
     ap.add_argument("--aot-check", action="store_true",
                     help="AOT-compile the artifact for the local backend")
+    ap.add_argument("--cpu", action="store_true",
+                    help="trace/lower on the CPU backend (artifact platform "
+                         "'cpu'; use on a busy/absent accelerator)")
     ap.add_argument("--mlir", action="store_true",
                     help="also emit <out>.mlir + <out>.compile_options.pb "
                          "for the native PJRT runner (serving/pjrt_runner)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax import export as jexport
 
@@ -51,22 +67,47 @@ def main():
     from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
 
     exp = get_exp(args.exp_file, args.name)
-    model = exp.get_model(fused=True)
 
     x_spec = jax.ShapeDtypeStruct(
         (args.batch_size, args.tsize, args.tsize, 3), jnp.float32)
 
-    if args.ckpt:
-        from cocodet_tpu.utils.checkpoint import load_checkpoint
+    if args.slim_spec or args.quant:
+        # deployment artifacts (slim / int8) load through the SAME builder
+        # the submission harness uses, so the exported graph is exactly the
+        # served program
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "harness"))
+        import importlib
 
-        variables = load_checkpoint(args.ckpt).get("model")
+        hmain = importlib.import_module("main")
+        model, variables = hmain.build_model_and_vars({
+            "model": {"type": args.name,
+                      "depth": (args.depth if args.depth is not None
+                                else exp.depth),
+                      "width": (args.width if args.width is not None
+                                else exp.width)},
+            "ckpt": args.ckpt, "slim_spec": args.slim_spec,
+            "quant": args.quant, "half": True,
+        })
     else:
-        variables = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.zeros(x_spec.shape, x_spec.dtype))
-        print("WARNING: exporting random weights")
+        model = exp.get_model(fused=True)
+        if args.ckpt:
+            from cocodet_tpu.utils.checkpoint import load_checkpoint
+
+            variables = load_checkpoint(args.ckpt).get("model")
+        else:
+            variables = jax.jit(model.init)(
+                jax.random.PRNGKey(0), jnp.zeros(x_spec.shape, x_spec.dtype))
+            print("WARNING: exporting random weights")
 
     cfg = PostprocessConfig(conf_threshold=args.conf,
                             nms_threshold=args.nms)
+    if args.decode:
+        # the decoded graph returns an NMSResult namedtuple; register it so
+        # jax.export can serialize the output pytree
+        from cocodet_tpu.ops.nms import register_export_serialization
+
+        register_export_serialization()
 
     def forward(images):
         outputs = model.apply(variables, images)

@@ -38,6 +38,9 @@ def main():
     from cocodet_tpu.utils.demo_utils import demo_postprocess, multiclass_nms
     from cocodet_tpu.utils.visualize import vis
 
+    from cocodet_tpu.ops.nms import register_export_serialization
+
+    register_export_serialization()  # decoded artifacts return NMSResult
     with open(args.artifact, "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
     print(f"loaded {args.artifact}: in {exported.in_avals}, "
