@@ -59,20 +59,35 @@ def make_train_step(
     ema_decay: float = 0.9998,
     use_ema: bool = True,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted train step. ``use_l1`` is a static argument — the
-    no-aug phase recompiles once when it flips (ref trainer.py:219-228)."""
+    no-aug phase recompiles once when it flips (ref trainer.py:219-228).
+
+    remat: rematerialize the model forward in the backward pass
+    (``jax.checkpoint``), trading ~one extra forward of FLOPs for the
+    activation memory.  Measured need: at 640px with mosaic-density
+    labels (G=120) the b128 step's 14.7G program exceeds the 16G v5e
+    (ROADMAP.md "device-mosaic memory envelope") — remat buys the
+    batch-size headroom back on memory-bound operating points.
+    """
 
     @functools.partial(jax.jit, static_argnames=("use_l1",),
                        donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, images, labels, use_l1: bool = False,
                    masks=None):
-        def loss_fn(params):
+        def apply_fn(params, imgs):
             variables = {"params": params, "batch_stats": state.batch_stats}
             if masks:
                 variables["masks"] = masks
-            outputs, mutated = model.apply(
-                variables, images, train=True, mutable=["batch_stats"])
+            return model.apply(
+                variables, imgs, train=True, mutable=["batch_stats"])
+
+        if remat:
+            apply_fn = jax.checkpoint(apply_fn)
+
+        def loss_fn(params):
+            outputs, mutated = apply_fn(params, images)
             losses, _ = yolox_losses(
                 outputs, labels, strides=strides, num_classes=num_classes,
                 use_l1=use_l1, iou_type=iou_type)

@@ -127,7 +127,8 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.optimizer_tx, strides=exp.strides,
             num_classes=exp.num_classes, iou_type=exp.iou_type,
-            ema_decay=exp.ema_momentum, use_ema=exp.ema)
+            ema_decay=exp.ema_momentum, use_ema=exp.ema,
+            remat=getattr(exp, "remat", False))
 
         self.evaluator = exp.get_evaluator(
             batch_size=batch_size, is_distributed=jax.process_count() > 1)

@@ -83,6 +83,11 @@ class Exp(BaseExp):
 
         # ---------------- training config ----------------
         self.num_accumulate = 1
+        # remat: jax.checkpoint the model forward in the train step —
+        # trades ~1 extra forward of FLOPs for the activation memory
+        # (enables e.g. b128@640 with mosaic-density labels on a 16G v5e,
+        # see ROADMAP.md "device-mosaic memory envelope")
+        self.remat = False
         self.warmup_epochs = 5
         self.max_epoch = 300
         self.warmup_lr = 0.0

@@ -43,6 +43,23 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 4
 
 
+def test_remat_step_matches_plain():
+    """jax.checkpoint is a pure memory/FLOPs trade: the remat step must
+    produce the same loss and parameters as the plain step."""
+    model, state, step, imgs, labels = _setup(use_ema=False)
+    tx = optax.sgd(1e-4, momentum=0.9, nesterov=True)
+    step_r = make_train_step(model, tx, strides=(8, 16, 32, 64),
+                             num_classes=80, donate=False, remat=True)
+    s1, m1 = step(state, imgs, labels)
+    s2, m2 = step_r(state, imgs, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_train_step_updates_bn_and_ema():
     model, state, step, imgs, labels = _setup(use_ema=True)
     stats0 = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--width", type=float, default=0.75)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--max-labels", type=int, default=50)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the model forward (memory-bound "
+                         "operating points, e.g. b128@640 with G=120)")
     ap.add_argument("--loader", metavar="DATA_DIR", default=None,
                     help="end-to-end mode: pull real batches through "
                          "exp.get_data_loader + DevicePrefetcher and "
@@ -94,7 +97,7 @@ def main():
 
     state = create_train_state(model, tx, rng, imgs[:1])
     step = make_train_step(model, tx, strides=(8, 16, 32, 64),
-                           num_classes=80)
+                           num_classes=80, remat=args.remat)
 
     # Sync discipline: under this TPU's remote tunnel,
     # jax.block_until_ready() can return before the device actually
@@ -159,7 +162,7 @@ def _bench_with_loader(args, model, tx, rng):
     imgs, labels = next_batch()
     state = create_train_state(model, tx, rng, imgs[:1])
     step = make_train_step(model, tx, strides=(8, 16, 32, 64),
-                           num_classes=exp.num_classes)
+                           num_classes=exp.num_classes, remat=args.remat)
 
     t0 = time.perf_counter()
     state, metrics = step(state, imgs, labels, use_l1=False)
