@@ -140,6 +140,37 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
 
     aug = cfg.get("input_aug", True)
 
+    # data_parallel: shard the batch dim over every visible device (the
+    # serving-side analog of the evaluators' mesh sharding) — params are
+    # replicated, XLA partitions the one jitted program, detections gather
+    # on the host in drain().  Ragged tail batches are padded to the full
+    # batch (drain only reads len(infos) rows).
+    dp = bool(cfg.get("data_parallel", False))
+    data_sharding = None
+    if dp:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devices = jax.devices()
+        bsz = int(cfg["dataloader"]["batch_size"])
+        if bsz % len(devices):
+            raise ValueError(
+                f"data_parallel: batch_size {bsz} must divide the device "
+                f"count {len(devices)}")
+        mesh = Mesh(np.asarray(devices), ("data",))
+        data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        variables = jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec()))
+
+    def to_device(batch):
+        if data_sharding is None:
+            return batch
+        bsz = int(cfg["dataloader"]["batch_size"])
+        if batch.shape[0] < bsz:  # ragged tail -> pad rows (dets unread)
+            pad = jnp.full((bsz - batch.shape[0],) + batch.shape[1:], 114.0,
+                           batch.dtype)
+            batch = jnp.concatenate([batch, pad], 0)
+        return jax.device_put(batch, data_sharding)
+
     @jax.jit
     def step(images):
         if aug:
@@ -175,7 +206,7 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
     # warmup (ref main.py:137-140)
     warm = np.full((int(cfg["dataloader"]["batch_size"]),
                     cfg["img_size"], cfg["img_size"], 3), 114.0, np.float32)
-    jax.block_until_ready(step(jnp.asarray(warm)))
+    jax.block_until_ready(step(to_device(jnp.asarray(warm))))
     timer.toc("warmup")
 
     n_img = 0
@@ -227,7 +258,7 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
     pending = None
     for imgs, infos in loader:
         timer.tic()
-        batch = jnp.asarray(imgs)
+        batch = to_device(jnp.asarray(imgs))
         timer.toc("h2d")
         res = step(batch)  # async dispatch — do not block here
         if pending is not None:

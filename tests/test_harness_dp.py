@@ -1,0 +1,72 @@
+"""Data-parallel submission harness: mesh-sharded batches must reproduce
+the single-device detections exactly.
+
+The harness's ``data_parallel`` config shards the batch dim over every
+visible device (8 virtual CPU devices here, conftest.py) with replicated
+params — the serving-side analog of the evaluators' mesh sharding.
+Ref context: the reference serves single-GPU (choijhanyangackr/main.py);
+scale-out here is a mesh property of the same jitted program.
+"""
+
+import importlib
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "harness"))
+
+
+def _cfg(data_dir, dp):
+    return {
+        "model": {"type": "yolox-p6", "depth": 0.33, "width": 0.125},
+        "ckpt": None,
+        "img_size": 64,
+        "half": False,
+        "data_dir": data_dir,
+        "dataloader": {"batch_size": 8},
+        "postprocess": {"conf_threshold": 1e-5, "nms_threshold": 0.65,
+                        "max_num_nms": 128, "max_num_det": 16},
+        "input_aug": False,
+        "data_parallel": dp,
+    }
+
+
+def test_data_parallel_matches_single(tmp_path):
+    from synthetic import make_fake_coco
+
+    assert len(jax.devices()) == 8
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=10, size=96)
+    hmain = importlib.import_module("main")
+
+    out1 = str(tmp_path / "dets_single.json")
+    out2 = str(tmp_path / "dets_dp.json")
+    # 10 images / batch 8 -> one full batch + a ragged tail of 2 (covers
+    # the dp pad path)
+    hmain.run(_cfg(os.path.join(root, "val2017"), dp=False), out1)
+    hmain.run(_cfg(os.path.join(root, "val2017"), dp=True), out2)
+
+    with open(out1) as f:
+        a = json.load(f)
+    with open(out2) as f:
+        b = json.load(f)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra["image_id"] == rb["image_id"]
+        assert ra["category_id"] == rb["category_id"]
+        np.testing.assert_allclose(ra["bbox"], rb["bbox"], atol=1e-2)
+
+
+def test_data_parallel_batch_divisibility(tmp_path):
+    from synthetic import make_fake_coco
+
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=2, size=96)
+    hmain = importlib.import_module("main")
+    cfg = _cfg(os.path.join(root, "val2017"), dp=True)
+    cfg["dataloader"]["batch_size"] = 3  # 3 % 8 != 0
+    with pytest.raises(ValueError, match="must divide"):
+        hmain.run(cfg, str(tmp_path / "x.json"))
