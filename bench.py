@@ -89,6 +89,7 @@ def _build_slim():
     masked = build_model("yolox-p6", depth=0.67, width=0.75, use_mask=True)
     variables = dict(masked.init(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    _progress("masked model initialized")  # keep the watchdog timer fresh
     rs = np.random.RandomState(0)
     masks = dict(flatten_dict(variables["masks"]))
     params = flatten_dict(variables["params"])
@@ -112,8 +113,10 @@ def _build_slim():
         masks[site + ("mask", "scale")] = jnp.asarray(scale)
     variables["masks"] = unflatten_dict(masks)
 
+    _progress("masks applied; folding BN + slimming channels")
     merged = merge_for_deployment(variables, eps=1e-3)
     slimmed, spec = slim_channels(merged, variables["masks"], round_to=32)
+    _progress("slim model built")
     model = build_model("yolox-p6", depth=0.67, width=0.75, fused=True,
                         slim=spec, dtype=jnp.bfloat16)
     return model, slimmed
@@ -163,6 +166,7 @@ def main(dense=False, bf16=False):
                 np.random.RandomState(1).rand(2, 256, 256, 3) * 255,
                 jnp.float32)
             slim_vars = quantize_model(calib_model, slim_vars, [calib_imgs])
+            _progress("quantization done")
             slim_model = build_model("yolox-p6", depth=0.67, width=0.75,
                                      fused=True, slim=spec,
                                      dtype=jnp.bfloat16, quant="w8a8")
