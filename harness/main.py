@@ -140,24 +140,32 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
 
     aug = cfg.get("input_aug", True)
 
-    # data_parallel: shard the batch dim over every visible device (the
-    # serving-side analog of the evaluators' mesh sharding) — params are
-    # replicated, XLA partitions the one jitted program, detections gather
-    # on the host in drain().  Ragged tail batches are padded to the full
-    # batch (drain only reads len(infos) rows).
+    # Multi-chip serving, two orthogonal modes (the evaluators' mesh
+    # sharding brought to the serving side; params replicated, XLA
+    # partitions the one jitted program, detections gather in drain()):
+    #   data_parallel:     shard the BATCH dim — throughput scale-out.
+    #   spatial_partition: shard the image HEIGHT dim — latency scale-out
+    #     for high-res single/small-batch requests; XLA GSPMD inserts the
+    #     conv halo exchanges (verified bit-parity on the virtual mesh,
+    #     tests/test_harness_dp.py).
     dp = bool(cfg.get("data_parallel", False))
+    sp = bool(cfg.get("spatial_partition", False))
+    if dp and sp:
+        raise ValueError("data_parallel and spatial_partition are "
+                         "mutually exclusive (one mesh axis)")
     data_sharding = None
-    if dp:
+    if dp or sp:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
         devices = jax.devices()
         bsz = int(cfg["dataloader"]["batch_size"])
-        if bsz % len(devices):
+        if dp and bsz % len(devices):
             raise ValueError(
                 f"data_parallel: batch_size {bsz} must divide the device "
                 f"count {len(devices)}")
-        mesh = Mesh(np.asarray(devices), ("data",))
-        data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        mesh = Mesh(np.asarray(devices), ("ax",))
+        data_sharding = NamedSharding(
+            mesh, PartitionSpec("ax") if dp else PartitionSpec(None, "ax"))
         variables = jax.device_put(
             variables, NamedSharding(mesh, PartitionSpec()))
 
@@ -165,7 +173,7 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
         if data_sharding is None:
             return batch
         bsz = int(cfg["dataloader"]["batch_size"])
-        if batch.shape[0] < bsz:  # ragged tail -> pad rows (dets unread)
+        if dp and batch.shape[0] < bsz:  # ragged tail -> pad (dets unread)
             pad = jnp.full((bsz - batch.shape[0],) + batch.shape[1:], 114.0,
                            batch.dtype)
             batch = jnp.concatenate([batch, pad], 0)

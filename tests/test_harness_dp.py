@@ -21,7 +21,7 @@ jax = pytest.importorskip("jax")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "harness"))
 
 
-def _cfg(data_dir, dp):
+def _cfg(data_dir, dp, sp=False):
     return {
         "model": {"type": "yolox-p6", "depth": 0.33, "width": 0.125},
         "ckpt": None,
@@ -33,6 +33,7 @@ def _cfg(data_dir, dp):
                         "max_num_nms": 128, "max_num_det": 16},
         "input_aug": False,
         "data_parallel": dp,
+        "spatial_partition": sp,
     }
 
 
@@ -49,6 +50,30 @@ def test_data_parallel_matches_single(tmp_path):
     # the dp pad path)
     hmain.run(_cfg(os.path.join(root, "val2017"), dp=False), out1)
     hmain.run(_cfg(os.path.join(root, "val2017"), dp=True), out2)
+
+    with open(out1) as f:
+        a = json.load(f)
+    with open(out2) as f:
+        b = json.load(f)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra["image_id"] == rb["image_id"]
+        assert ra["category_id"] == rb["category_id"]
+        np.testing.assert_allclose(ra["bbox"], rb["bbox"], atol=1e-2)
+
+
+def test_spatial_partition_matches_single(tmp_path):
+    """Height-sharded inference (XLA GSPMD conv halo exchanges) must
+    reproduce single-device detections."""
+    from synthetic import make_fake_coco
+
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=4, size=96)
+    hmain = importlib.import_module("main")
+
+    out1 = str(tmp_path / "dets_single.json")
+    out2 = str(tmp_path / "dets_sp.json")
+    hmain.run(_cfg(os.path.join(root, "val2017"), dp=False), out1)
+    hmain.run(_cfg(os.path.join(root, "val2017"), dp=False, sp=True), out2)
 
     with open(out1) as f:
         a = json.load(f)
