@@ -227,11 +227,37 @@ def _run_with_watchdog():
     session, which empirically clears the wedge).  A forwarded JSON line IS
     success — if the child wedges after printing it, kill it and exit 0
     (also guarantees at most one JSON line ever reaches stdout)."""
+    import socket
     import subprocess
     import threading
 
+    def _tunnel_up() -> bool:
+        """TCP-probe the axon remote-compile relay (127.0.0.1:8093).  When
+        the relay daemon dies, every TPU job wedges SILENTLY at backend
+        init — burning 3 x 420 s of watchdog attempts tells the driver
+        nothing.  Probe first; if the port is closed, wait for the tunnel
+        (it may be restarted by the environment) instead."""
+        try:
+            with socket.create_connection(("127.0.0.1", 8093), timeout=5):
+                return True
+        except OSError:
+            return False
+
     stall_s, attempts = 420, 3
+    probing = os.path.exists("/root/.tpu_init.py")  # axon-tunnel hosts only
     for attempt in range(attempts):
+        if probing and not _tunnel_up():
+            print("# tpu tunnel port 8093 closed — waiting for the relay",
+                  file=sys.stderr, flush=True)
+            for _ in range(10 if attempt == 0 else 1):
+                time.sleep(60)
+                if _tunnel_up():
+                    break
+            if not _tunnel_up():
+                print(f"# tunnel still down (attempt {attempt + 1}/"
+                      f"{attempts}) — skipping the compile attempt",
+                      file=sys.stderr, flush=True)
+                continue
         env = dict(os.environ, _COCODET_BENCH_CHILD="1")
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
