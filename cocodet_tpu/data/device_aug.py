@@ -42,15 +42,19 @@ import numpy as np
 N_RANDOMS = 8
 
 
-def draw_randoms(rng, n: int) -> np.ndarray:
+def draw_randoms(rng, n: int, hsv_prob: float = 1.0) -> np.ndarray:
     """Draw the (n, N_RANDOMS) random vector with the SAME call sequence
     the host TrainTransform uses per image (transforms.py:174-176 ordering:
-    hsv gate, 3 uniform gains, 3 on/off ints, flip draw)."""
+    hsv gate, then 3 uniform gains + 3 on/off ints ONLY when the gate
+    passes — the host consumes no gain draws otherwise — then the flip
+    draw).  Drawing the gains unconditionally would shift the flip draw
+    and desync the two pipelines whenever hsv_prob < 1."""
     out = np.zeros((n, N_RANDOMS), np.float32)
     for i in range(n):
         out[i, 0] = rng.random()
-        out[i, 1:4] = [rng.uniform(-1, 1) for _ in range(3)]
-        out[i, 4:7] = [rng.randint(0, 1) for _ in range(3)]
+        if out[i, 0] < hsv_prob:
+            out[i, 1:4] = [rng.uniform(-1, 1) for _ in range(3)]
+            out[i, 4:7] = [rng.randint(0, 1) for _ in range(3)]
         out[i, 7] = rng.random()
     return out
 
@@ -97,8 +101,9 @@ def hsv_jitter(img, gains):
     """Random HSV shift (ref data_augment.py:21-31): h rolls mod 180,
     s/v clip to [0,255].  ``gains`` is (3,) — already gated/scaled."""
     h, s, v = bgr_to_hsv(img)
-    # host rounds gains to int16 before applying (transforms.py:46)
-    g = jnp.round(gains)
+    # host TRUNCATES gains toward zero — gains.astype(np.int16),
+    # transforms.py:46 — so 4.7 applies +4 and -4.7 applies -4
+    g = jnp.trunc(gains)
     h = (h + g[0]) % 180.0
     s = jnp.clip(s + g[1], 0.0, 255.0)
     v = jnp.clip(v + g[2], 0.0, 255.0)
@@ -238,6 +243,12 @@ def _train_aug_one(img_u8, hw, boxes_xyxy, classes, nvalid, randoms,
     order = jnp.argsort(~final_keep, stable=True)[:max_labels]
     merged = jnp.concatenate([classes[:, None], final_boxes], axis=-1)
     gathered = merged[order]
+    if gathered.shape[0] < max_labels:
+        # box buffer narrower than the label budget (e.g. max_boxes <
+        # max_labels_mosaic): pad so the output keeps the (max_labels, 5)
+        # contract instead of crashing on the broadcast below
+        gathered = jnp.pad(
+            gathered, ((0, max_labels - gathered.shape[0]), (0, 0)))
     kcount = final_keep.sum()
     slot_live = jnp.arange(max_labels) < kcount
     labels = jnp.where(slot_live[:, None], gathered, 0.0)
@@ -317,8 +328,9 @@ class DeviceAugDataset:
     from the SAME seeded rng the host path would use — the loader's
     per-item determinism guarantee carries over unchanged."""
 
-    def __init__(self, inner):
+    def __init__(self, inner, hsv_prob: float = 1.0):
         self._inner = inner
+        self._hsv_prob = hsv_prob
 
     def __len__(self):
         return len(self._inner)
@@ -333,7 +345,13 @@ class DeviceAugDataset:
         import random as _random
 
         img, labels, info, img_id = self._inner.fetch(index, rng)
-        randoms = draw_randoms(rng or _random, 1)[0]
+        if len(labels) == 0:
+            # host TrainTransform early-returns before ANY draw for
+            # label-free images (transforms.py:168-170) — consume nothing;
+            # gate draws of 1.0 make hsv and flip no-ops in-program
+            randoms = np.asarray([1, 0, 0, 0, 0, 0, 0, 1], np.float32)
+        else:
+            randoms = draw_randoms(rng or _random, 1, self._hsv_prob)[0]
         return img, labels, randoms, info, img_id
 
 
@@ -411,7 +429,7 @@ class DeviceTrainAug:
                 boxes[i, :n] = tg[:n, :4]
                 classes[i, :n] = tg[:n, 4]
             nvalid[i] = n
-        randoms = draw_randoms(rng, b)
+        randoms = draw_randoms(rng, b, self.hsv_prob)
         return imgs, hw, boxes, classes, nvalid, randoms
 
     def __call__(self, items, rng):

@@ -455,7 +455,7 @@ class DeviceMosaicDataset:
                  mosaic_scale=(0.5, 1.5), mixup_scale=(0.5, 1.5),
                  shear: float = 2.0, enable_mixup: bool = True,
                  mosaic_prob: float = 1.0, mixup_prob: float = 1.0,
-                 mosaic: bool = True, rng=None):
+                 mosaic: bool = True, hsv_prob: float = 1.0, rng=None):
         import random as _random
 
         self._dataset = dataset
@@ -470,6 +470,7 @@ class DeviceMosaicDataset:
         self.enable_mixup = enable_mixup
         self.mosaic_prob = mosaic_prob
         self.mixup_prob = mixup_prob
+        self.hsv_prob = hsv_prob
 
     def __len__(self):
         return len(self._dataset)
@@ -564,11 +565,14 @@ class DeviceMosaicDataset:
             s = min(ih / h0, iw / w0)
             nhw[t] = (int(h0 * s), int(w0 * s))
 
-        tt_randoms = draw_randoms(rng, 1)[0]
+        tt_randoms = draw_randoms(rng, 1, self.hsv_prob)[0]
         return tiles, hws, nhw, targets, mrand, tt_randoms, img_info, img_id
 
 
-def make_mosaic_collate(src_size: Tuple[int, int], max_boxes: int = 60):
+_TRUNC_WARNED = [False]
+
+
+def make_mosaic_collate(src_size: Tuple[int, int], max_boxes: int = 120):
     """Collate DeviceMosaicDataset items into mosaic_mixup_batch's static
     buffers.  Returns (batch_dict, None, infos, ids); the dict's key set
     tells Trainer._next_batch to run the mosaic program before the
@@ -593,6 +597,14 @@ def make_mosaic_collate(src_size: Tuple[int, int], max_boxes: int = 60):
                 tiles[i, t, :h, :w] = t5[t][:h, :w]
                 hw[i, t] = (h, w)
                 n = min(len(tg5[t]), max_boxes)
+                if len(tg5[t]) > max_boxes and not _TRUNC_WARNED[0]:
+                    # no silent caps: the host mosaic keeps every tile box
+                    _TRUNC_WARNED[0] = True
+                    print(f"[device_mosaic] WARNING: tile with "
+                          f"{len(tg5[t])} boxes truncated to max_boxes="
+                          f"{max_boxes} (raise exp.device_mosaic_max_boxes "
+                          f"to keep host parity on crowded images)",
+                          flush=True)
                 if n:
                     boxes[i, t, :n] = tg5[t][:n, :4]
                     classes[i, t, :n] = tg5[t][:n, 4]

@@ -79,7 +79,9 @@ class Exp(BaseExp):
         # onto the accelerator (data/device_mosaic.py) — the host keeps
         # only decode + RNG.  Implies the device TrainTransform stage.
         self.device_mosaic = False
-        self.device_mosaic_max_boxes = 60
+        # per-tile box buffer — matches max_labels_mosaic so no
+        # tile ever silently drops ground truth vs the host path
+        self.device_mosaic_max_boxes = 120
 
         # ---------------- training config ----------------
         self.num_accumulate = 1
@@ -146,33 +148,16 @@ class Exp(BaseExp):
         dataset = self.get_dataset(cache=cache_img)
         dataset.preproc = None  # mosaic wrapper applies the transform
         device_aug = getattr(self, "device_aug", False)
-        mosaic = MosaicDetection(
-            dataset,
-            mosaic=not no_aug,
-            img_size=self.input_size,
-            # device_aug: per-pixel train transform runs on the TPU instead
-            # (data/device_aug.py); fetch then returns the raw composed image
-            preproc=None if device_aug else TrainTransform(
-                max_labels=self.max_labels_mosaic,
-                flip_prob=self.flip_prob,
-                hsv_prob=self.hsv_prob),
-            degrees=self.degrees,
-            translate=self.translate,
-            mosaic_scale=self.mosaic_scale,
-            mixup_scale=self.mixup_scale,
-            shear=self.shear,
-            enable_mixup=self.enable_mixup,
-            mosaic_prob=self.mosaic_prob,
-            mixup_prob=self.mixup_prob,
-            rng=random.Random(1_000_003 * (seed + 1) + rank),
-        )
+        device_mosaic = getattr(self, "device_mosaic", False)
+        item_rng = random.Random(1_000_003 * (seed + 1) + rank)
         sampler = InfiniteSampler(len(dataset), seed=seed, rank=rank,
                                   world_size=world_size)
         batch_sampler = YoloBatchSampler(sampler, batch_size,
                                          mosaic=not no_aug)
         collate_fn = None
-        wrapped = mosaic
-        if getattr(self, "device_mosaic", False):
+        if device_mosaic:
+            # full device pipeline: host keeps decode + RNG only
+            # (data/device_mosaic.py) — no MosaicDetection involved
             from ..data.device_mosaic import (DeviceMosaicDataset,
                                               make_mosaic_collate)
 
@@ -182,20 +167,44 @@ class Exp(BaseExp):
                 mixup_scale=self.mixup_scale, shear=self.shear,
                 enable_mixup=self.enable_mixup,
                 mosaic_prob=self.mosaic_prob, mixup_prob=self.mixup_prob,
-                mosaic=not no_aug,
-                rng=random.Random(1_000_003 * (seed + 1) + rank))
+                mosaic=not no_aug, hsv_prob=self.hsv_prob, rng=item_rng)
             collate_fn = make_mosaic_collate(
                 self.input_size,
-                max_boxes=getattr(self, "device_mosaic_max_boxes", 60))
-        elif device_aug:
-            from ..data.device_aug import DeviceAugDataset, make_device_collate
+                max_boxes=getattr(self, "device_mosaic_max_boxes", 120))
+        else:
+            mosaic = MosaicDetection(
+                dataset,
+                mosaic=not no_aug,
+                img_size=self.input_size,
+                # device_aug: per-pixel train transform runs on the TPU
+                # instead (data/device_aug.py); fetch then returns the raw
+                # composed image
+                preproc=None if device_aug else TrainTransform(
+                    max_labels=self.max_labels_mosaic,
+                    flip_prob=self.flip_prob,
+                    hsv_prob=self.hsv_prob),
+                degrees=self.degrees,
+                translate=self.translate,
+                mosaic_scale=self.mosaic_scale,
+                mixup_scale=self.mixup_scale,
+                shear=self.shear,
+                enable_mixup=self.enable_mixup,
+                mosaic_prob=self.mosaic_prob,
+                mixup_prob=self.mixup_prob,
+                rng=item_rng,
+            )
+            wrapped = mosaic
+            if device_aug:
+                from ..data.device_aug import (DeviceAugDataset,
+                                               make_device_collate)
 
-            scale = getattr(self, "device_aug_src_scale", 2.0)
-            src_size = (int(self.input_size[0] * scale),
-                        int(self.input_size[1] * scale))
-            wrapped = DeviceAugDataset(mosaic)
-            collate_fn = make_device_collate(
-                src_size, max_boxes=getattr(self, "device_aug_max_boxes", 120))
+                scale = getattr(self, "device_aug_src_scale", 2.0)
+                src_size = (int(self.input_size[0] * scale),
+                            int(self.input_size[1] * scale))
+                wrapped = DeviceAugDataset(mosaic, hsv_prob=self.hsv_prob)
+                collate_fn = make_device_collate(
+                    src_size,
+                    max_boxes=getattr(self, "device_aug_max_boxes", 120))
         return DetectionLoader(wrapped, batch_sampler,
                                num_workers=self.data_num_workers, seed=seed,
                                collate_fn=collate_fn)

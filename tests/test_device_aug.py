@@ -107,6 +107,22 @@ def test_train_aug_parity_labels_exact():
         assert np.percentile(np.abs(d_img - h_img), 95) <= 4.0
 
 
+def test_train_aug_parity_gated_hsv():
+    """hsv_prob < 1: the host consumes the 6 gain draws ONLY when the
+    gate passes, so the flip draw position shifts — draw_randoms must
+    replay the conditional order or flip decisions desync (regression
+    test for the round-3 review finding)."""
+    rs = np.random.RandomState(5)
+    for seed in range(10):
+        h, w = int(rs.randint(80, 260)), int(rs.randint(80, 260))
+        img = _rand_img(rs, h, w)
+        targets = _boxes(rs, int(rs.randint(1, 6)), h, w)
+        h_img, h_lab, d_img, d_lab = _run_both(
+            img, targets, (160, 160), seed, flip_prob=0.5, hsv_prob=0.4)
+        np.testing.assert_allclose(d_lab, h_lab, atol=1e-3, rtol=1e-5)
+        assert np.abs(d_img - h_img).mean() < 2.0
+
+
 def test_train_aug_no_boxes_and_fallback():
     rs = np.random.RandomState(3)
     img = _rand_img(rs, 120, 90)
