@@ -284,9 +284,10 @@ def _run_with_watchdog():
             time.sleep(5)
             if got_json[0]:
                 # Success as soon as the headline lands; give a clean exit
-                # a moment, then reap unconditionally.
+                # a moment (or the full secondary compile under --dense),
+                # then reap unconditionally.
                 try:
-                    proc.wait(timeout=30)
+                    proc.wait(timeout=600 if "--dense" in sys.argv else 30)
                 except subprocess.TimeoutExpired:
                     proc.kill()
                 break

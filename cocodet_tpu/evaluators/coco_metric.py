@@ -308,3 +308,32 @@ class COCOMeanAP:
             s = s[s > -1]
             out[cat] = float(np.mean(s)) if s.size else float("nan")
         return out
+
+
+def score_detections_json(gt, det_json_path: str) -> Dict[str, float]:
+    """Score a COCO-format detections json against ground truth.
+
+    The one shared implementation of the harness self-eval scoring used by
+    tools/run_pipeline.py stage 6, tools/eval_harness_ckpt.py and
+    tools/eval_robustness.py: load the detections, remap string image_ids
+    (the harness emits file-name ids for non-numeric names) through the GT
+    file_name table, drop records without a bbox (challenge header / dummy
+    records), and run COCOMeanAP.
+
+    gt: the instances dict, or a path to the annotations json.
+    """
+    import json as _json
+
+    if isinstance(gt, str):
+        with open(gt) as f:
+            gt = _json.load(f)
+    name_to_id = {im["file_name"]: im["id"] for im in gt["images"]}
+    with open(det_json_path) as f:
+        dets = _json.load(f)
+    for d in dets:
+        if isinstance(d.get("image_id"), str):
+            d["image_id"] = name_to_id.get(d["image_id"], -1)
+    metric = COCOMeanAP()
+    metric.add_gt_annotations(gt["annotations"])
+    metric.add_detections([d for d in dets if "bbox" in d])
+    return metric.summarize()

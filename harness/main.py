@@ -161,8 +161,8 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
         bsz = int(cfg["dataloader"]["batch_size"])
         if dp and bsz % len(devices):
             raise ValueError(
-                f"data_parallel: batch_size {bsz} must divide the device "
-                f"count {len(devices)}")
+                f"data_parallel: batch_size {bsz} must be a multiple of "
+                f"the device count {len(devices)}")
         mesh = Mesh(np.asarray(devices), ("ax",))
         data_sharding = NamedSharding(
             mesh, PartitionSpec("ax") if dp else PartitionSpec(None, "ax"))

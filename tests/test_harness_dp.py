@@ -93,5 +93,5 @@ def test_data_parallel_batch_divisibility(tmp_path):
     hmain = importlib.import_module("main")
     cfg = _cfg(os.path.join(root, "val2017"), dp=True)
     cfg["dataloader"]["batch_size"] = 3  # 3 % 8 != 0
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="must be a multiple"):
         hmain.run(cfg, str(tmp_path / "x.json"))

@@ -47,7 +47,7 @@ def main():
     import importlib
 
     hmain = importlib.import_module("main")
-    from cocodet_tpu.evaluators.coco_metric import COCOMeanAP
+    from cocodet_tpu.evaluators.coco_metric import score_detections_json
 
     cfg = {
         "model": {"type": "yolox-p6", "depth": args.depth,
@@ -67,19 +67,9 @@ def main():
                             + "_detections.json")
     hmain.run(cfg, out_json)
 
-    with open(os.path.join(args.data_dir, "annotations",
-                           "instances_val2017.json")) as f:
-        gt = json.load(f)
-    name_to_id = {im["file_name"]: im["id"] for im in gt["images"]}
-    with open(out_json) as f:
-        dets = json.load(f)
-    for d in dets:
-        if isinstance(d.get("image_id"), str):
-            d["image_id"] = name_to_id.get(d["image_id"], -1)
-    metric = COCOMeanAP()
-    metric.add_gt_annotations(gt["annotations"])
-    metric.add_detections([d for d in dets if "bbox" in d])
-    stats = metric.summarize()
+    stats = score_detections_json(
+        os.path.join(args.data_dir, "annotations", "instances_val2017.json"),
+        out_json)
     result = {"ckpt": args.ckpt, "quant": args.quant,
               "mAP": stats["AP"], "AP50": stats["AP50"]}
     print(json.dumps(result))

@@ -41,21 +41,11 @@ def variant_root(variant: str, n_val: int, size: int, seed: int) -> str:
 
 
 def score(data_dir: str, out_json: str) -> dict:
-    from cocodet_tpu.evaluators.coco_metric import COCOMeanAP
+    from cocodet_tpu.evaluators.coco_metric import score_detections_json
 
-    with open(os.path.join(data_dir, "annotations",
-                           "instances_val2017.json")) as f:
-        gt = json.load(f)
-    name_to_id = {im["file_name"]: im["id"] for im in gt["images"]}
-    with open(out_json) as f:
-        dets = json.load(f)
-    for d in dets:
-        if isinstance(d.get("image_id"), str):
-            d["image_id"] = name_to_id.get(d["image_id"], -1)
-    metric = COCOMeanAP()
-    metric.add_gt_annotations(gt["annotations"])
-    metric.add_detections([d for d in dets if "bbox" in d])
-    return metric.summarize()
+    return score_detections_json(
+        os.path.join(data_dir, "annotations", "instances_val2017.json"),
+        out_json)
 
 
 def main():

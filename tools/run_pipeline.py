@@ -315,21 +315,11 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     hmain.run(cfg, out_json)
 
     # score the detections with the COCO mAP metric
-    from cocodet_tpu.evaluators.coco_metric import COCOMeanAP
+    from cocodet_tpu.evaluators.coco_metric import score_detections_json
 
-    with open(os.path.join(data_dir, "annotations",
-                           "instances_val2017.json")) as f:
-        gt = json.load(f)
-    name_to_id = {im["file_name"]: im["id"] for im in gt["images"]}
-    with open(out_json) as f:
-        dets = json.load(f)
-    for d in dets:
-        if isinstance(d.get("image_id"), str):
-            d["image_id"] = name_to_id.get(d["image_id"], -1)
-    metric = COCOMeanAP()
-    metric.add_gt_annotations(gt["annotations"])
-    metric.add_detections([d for d in dets if "bbox" in d])
-    stats = metric.summarize()
+    stats = score_detections_json(
+        os.path.join(data_dir, "annotations", "instances_val2017.json"),
+        out_json)
     results["mAP"] = stats["AP"]
     results["AP50"] = stats["AP50"]
 
