@@ -122,6 +122,32 @@ def _build_slim():
     return model, slimmed
 
 
+def _quantize_slim(slim_model, slim_vars):
+    """w8a8 PTQ over the slim model: per-out-channel int8 weights +
+    calibrated per-tensor activation scales (compress/quantize.py).
+    Shared by main() and tools/bench_int8.py so the A/B tool cannot drift
+    from the headline recipe.  Caller runs it under the host CPU device.
+    Calibration uses random uniform [0,255) images: for throughput the
+    scales only need realistic magnitudes (accuracy story:
+    tools/quantize_model.py + eval_harness_ckpt.py, see ROADMAP.md)."""
+    import jax.numpy as jnp
+
+    from cocodet_tpu.compress import quantize_model
+    from cocodet_tpu.models import build_model
+
+    spec = slim_model.slim
+    calib_model = build_model("yolox-p6", depth=0.67, width=0.75,
+                              fused=True, slim=spec,
+                              dtype=jnp.bfloat16, quant="calib")
+    calib_imgs = jnp.asarray(
+        np.random.RandomState(1).rand(2, 256, 256, 3) * 255, jnp.float32)
+    qvars = quantize_model(calib_model, slim_vars, [calib_imgs])
+    q_model = build_model("yolox-p6", depth=0.67, width=0.75,
+                          fused=True, slim=spec,
+                          dtype=jnp.bfloat16, quant="w8a8")
+    return q_model, qvars
+
+
 def main(dense=False, bf16=False):
     import jax
     import jax.numpy as jnp
@@ -155,21 +181,8 @@ def main(dense=False, bf16=False):
             # tools/bench_int8.py).  Calibration is host-CPU eager math —
             # still exactly ONE TPU program below.
             _progress("calibrating + quantizing (w8a8) on host CPU")
-            from cocodet_tpu.compress import quantize_model
-            from cocodet_tpu.models import build_model
-
-            spec = slim_model.slim
-            calib_model = build_model("yolox-p6", depth=0.67, width=0.75,
-                                      fused=True, slim=spec,
-                                      dtype=jnp.bfloat16, quant="calib")
-            calib_imgs = jnp.asarray(
-                np.random.RandomState(1).rand(2, 256, 256, 3) * 255,
-                jnp.float32)
-            slim_vars = quantize_model(calib_model, slim_vars, [calib_imgs])
+            slim_model, slim_vars = _quantize_slim(slim_model, slim_vars)
             _progress("quantization done")
-            slim_model = build_model("yolox-p6", depth=0.67, width=0.75,
-                                     fused=True, slim=spec,
-                                     dtype=jnp.bfloat16, quant="w8a8")
     _progress("transferring params + inputs to device")
     device = jax.devices()[0]
     slim_vars = jax.device_put(slim_vars, device)

@@ -135,17 +135,27 @@ def _lin_weights(out_len: int, src_len, scale):
 
 
 def letterbox_resize_one(img, hw, out_size: Tuple[int, int],
-                         pad_value: float = 114.0):
+                         pad_value: float = 114.0, nhw=None):
     """Ratio-preserving resize + top-left pad of ONE image living in a
     static (src_h, src_w, 3) buffer with true size ``hw`` (host parity:
-    transforms.py:138-145).  Returns (out, r)."""
+    transforms.py:138-145).  Returns (out, r).
+
+    nhw: optional (2,) int32 resized extents int(h*r), int(w*r) computed
+    HOST-side in f64.  Without it the extents come from f32 floor(h*r),
+    which differs from the host's f64 int() for ~6% of (h, w) pairs when
+    r != 1 (measured; the same hazard device_mosaic.py avoids by shipping
+    nhw5 from the host) — pass nhw whenever out_size is known at collate
+    time."""
     oh, ow = out_size
     h = hw[0].astype(jnp.float32)
     w = hw[1].astype(jnp.float32)
     r = jnp.minimum(oh / h, ow / w)
     # host: nw, nh = int(w*r), int(h*r); cv2 resizes with scale nw/w (not r)
-    nh = jnp.floor(h * r).astype(jnp.int32)
-    nw = jnp.floor(w * r).astype(jnp.int32)
+    if nhw is None:
+        nh = jnp.floor(h * r).astype(jnp.int32)
+        nw = jnp.floor(w * r).astype(jnp.int32)
+    else:
+        nh, nw = nhw[0], nhw[1]
     sy = nh.astype(jnp.float32) / h
     sx = nw.astype(jnp.float32) / w
 
@@ -189,7 +199,7 @@ def _flip_boxes_xyxy(boxes, width):
 # The fused per-image transform
 # ---------------------------------------------------------------------------
 
-def _train_aug_one(img_u8, hw, boxes_xyxy, classes, nvalid, randoms,
+def _train_aug_one(img_u8, hw, boxes_xyxy, classes, nvalid, randoms, nhw,
                    out_size: Tuple[int, int], max_labels: int,
                    flip_prob: float, hsv_prob: float,
                    hgain: float, sgain: float, vgain: float):
@@ -232,7 +242,7 @@ def _train_aug_one(img_u8, hw, boxes_xyxy, classes, nvalid, randoms,
     fallback = ~keep.any()
 
     use_img = jnp.where(fallback, img, aug)
-    out, r = letterbox_resize_one(use_img, hw, out_size)
+    out, r = letterbox_resize_one(use_img, hw, out_size, nhw=nhw)
 
     final_boxes = jnp.where(fallback,
                             xyxy2cxcywh(boxes_xyxy) * r_pre, cxcywh)
@@ -259,7 +269,9 @@ def _train_aug_one(img_u8, hw, boxes_xyxy, classes, nvalid, randoms,
     jax.jit, static_argnames=("out_size", "max_labels", "flip_prob",
                               "hsv_prob", "hgain", "sgain", "vgain"))
 def train_aug_batch(images_u8, hw, boxes_xyxy, classes, nvalid, randoms,
-                    out_size: Tuple[int, int], max_labels: int = 50,
+                    nhw=None,
+                    out_size: Tuple[int, int] = (640, 640),
+                    max_labels: int = 50,
                     flip_prob: float = 0.5, hsv_prob: float = 1.0,
                     hgain: float = 5.0, sgain: float = 30.0,
                     vgain: float = 30.0):
@@ -275,7 +287,12 @@ def train_aug_batch(images_u8, hw, boxes_xyxy, classes, nvalid, randoms,
         _train_aug_one, out_size=out_size, max_labels=max_labels,
         flip_prob=flip_prob, hsv_prob=hsv_prob, hgain=hgain, sgain=sgain,
         vgain=vgain)
-    return jax.vmap(fn)(images_u8, hw, boxes_xyxy, classes, nvalid, randoms)
+    if nhw is None:
+        fn_no = lambda i, h, b, c, n, rr: fn(i, h, b, c, n, rr, None)
+        return jax.vmap(fn_no)(images_u8, hw, boxes_xyxy, classes, nvalid,
+                               randoms)
+    return jax.vmap(fn)(images_u8, hw, boxes_xyxy, classes, nvalid, randoms,
+                        nhw)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -344,6 +361,10 @@ class DeviceAugDataset:
     def fetch(self, index, rng=None):
         import random as _random
 
+        # default to the wrapped dataset's seeded rng (the stream the
+        # inner mosaic draws already came from) — falling back to the
+        # global module would split one item across two RNG streams
+        rng = rng or getattr(self._inner, "rng", None) or _random
         img, labels, info, img_id = self._inner.fetch(index, rng)
         if len(labels) == 0:
             # host TrainTransform early-returns before ANY draw for
@@ -351,41 +372,72 @@ class DeviceAugDataset:
             # gate draws of 1.0 make hsv and flip no-ops in-program
             randoms = np.asarray([1, 0, 0, 0, 0, 0, 0, 1], np.float32)
         else:
-            randoms = draw_randoms(rng or _random, 1, self._hsv_prob)[0]
+            randoms = draw_randoms(rng, 1, self._hsv_prob)[0]
         return img, labels, randoms, info, img_id
 
 
-def make_device_collate(src_size: Tuple[int, int], max_boxes: int = 120):
+_PACK_WARNED = [False]
+
+
+def pack_items(items, src_size: Tuple[int, int], max_boxes: int,
+               out_size: Optional[Tuple[int, int]] = None):
+    """Pack (img_u8, targets) pairs into train_aug_batch's static buffers.
+
+    The one shared packer behind make_device_collate and DeviceTrainAug.
+    When ``out_size`` is known, also returns the per-item resized extents
+    nhw = int(h*r), int(w*r) computed here in host f64 — letterbox's f32
+    floor diverges from the host for ~6% of sizes (letterbox_resize_one
+    docstring)."""
+    b = len(items)
+    sh, sw = src_size
+    imgs = np.zeros((b, sh, sw, 3), np.uint8)
+    hw = np.zeros((b, 2), np.int32)
+    boxes = np.zeros((b, max_boxes, 4), np.float32)
+    classes = np.zeros((b, max_boxes), np.float32)
+    nvalid = np.zeros((b,), np.int32)
+    nhw = np.zeros((b, 2), np.int32)
+    for i, (img, tg) in enumerate(items):
+        if ((img.shape[0] > sh or img.shape[1] > sw)
+                and not _PACK_WARNED[0]):
+            # no silent caps: cropping pixels desyncs labels vs the host
+            _PACK_WARNED[0] = True
+            print(f"[device_aug] WARNING: {img.shape[0]}x{img.shape[1]} "
+                  f"image cropped to the {sh}x{sw} static buffer (raise "
+                  f"exp.device_aug_src_scale to keep host parity)",
+                  flush=True)
+        h = min(img.shape[0], sh)
+        w = min(img.shape[1], sw)
+        imgs[i, :h, :w] = img[:h, :w]
+        hw[i] = (h, w)
+        n = min(len(tg), max_boxes)
+        if n:
+            boxes[i, :n] = tg[:n, :4]
+            classes[i, :n] = tg[:n, 4]
+        nvalid[i] = n
+        if out_size is not None:
+            r = min(out_size[0] / h, out_size[1] / w)
+            nhw[i] = (int(h * r), int(w * r))
+    return imgs, hw, boxes, classes, nvalid, nhw
+
+
+def make_device_collate(src_size: Tuple[int, int], max_boxes: int = 120,
+                        out_size: Optional[Tuple[int, int]] = None):
     """Collate DeviceAugDataset items into the static train_aug_batch
     buffers.  Returns (batch_dict, None, infos, ids) — the dict transfers
     as a pytree through DevicePrefetcher (uint8 pixels: 4x less H2D
     traffic than the host-side float32 path)."""
-    sh, sw = src_size
 
     def collate(items):
-        b = len(items)
-        imgs = np.zeros((b, sh, sw, 3), np.uint8)
-        hw = np.zeros((b, 2), np.int32)
-        boxes = np.zeros((b, max_boxes, 4), np.float32)
-        classes = np.zeros((b, max_boxes), np.float32)
-        nvalid = np.zeros((b,), np.int32)
-        randoms = np.zeros((b, N_RANDOMS), np.float32)
-        infos, ids = [], []
-        for i, (img, tg, rnd, info, iid) in enumerate(items):
-            h = min(img.shape[0], sh)
-            w = min(img.shape[1], sw)
-            imgs[i, :h, :w] = img[:h, :w]
-            hw[i] = (h, w)
-            n = min(len(tg), max_boxes)
-            if n:
-                boxes[i, :n] = tg[:n, :4]
-                classes[i, :n] = tg[:n, 4]
-            nvalid[i] = n
-            randoms[i] = rnd
-            infos.append(info)
-            ids.append(iid)
+        randoms = np.stack([it[2] for it in items]).astype(np.float32)
+        infos = [it[3] for it in items]
+        ids = [it[4] for it in items]
+        imgs, hw, boxes, classes, nvalid, nhw = pack_items(
+            [(it[0], it[1]) for it in items], src_size, max_boxes,
+            out_size=out_size)
         batch = {"images_u8": imgs, "hw": hw, "boxes_xyxy": boxes,
                  "classes": classes, "nvalid": nvalid, "randoms": randoms}
+        if out_size is not None:
+            batch["nhw"] = nhw
         return batch, None, infos, ids
 
     return collate
@@ -412,29 +464,15 @@ class DeviceTrainAug:
     def collate(self, items, rng):
         """items: list of (img_u8 HWC, targets (n, 5) xyxy+cls). Returns the
         host-side numpy arrays for train_aug_batch."""
-        b = len(items)
-        sh, sw = self.src_size
-        imgs = np.zeros((b, sh, sw, 3), np.uint8)
-        hw = np.zeros((b, 2), np.int32)
-        boxes = np.zeros((b, self.max_boxes, 4), np.float32)
-        classes = np.zeros((b, self.max_boxes), np.float32)
-        nvalid = np.zeros((b,), np.int32)
-        for i, (img, tg) in enumerate(items):
-            h = min(img.shape[0], sh)
-            w = min(img.shape[1], sw)
-            imgs[i, :h, :w] = img[:h, :w]
-            hw[i] = (h, w)
-            n = min(len(tg), self.max_boxes)
-            if n:
-                boxes[i, :n] = tg[:n, :4]
-                classes[i, :n] = tg[:n, 4]
-            nvalid[i] = n
-        randoms = draw_randoms(rng, b, self.hsv_prob)
-        return imgs, hw, boxes, classes, nvalid, randoms
+        imgs, hw, boxes, classes, nvalid, nhw = pack_items(
+            items, self.src_size, self.max_boxes, out_size=self.input_size)
+        randoms = draw_randoms(rng, len(items), self.hsv_prob)
+        return imgs, hw, boxes, classes, nvalid, randoms, nhw
 
     def __call__(self, items, rng):
-        imgs, hw, boxes, classes, nvalid, randoms = self.collate(items, rng)
+        (imgs, hw, boxes, classes, nvalid, randoms,
+         nhw) = self.collate(items, rng)
         return train_aug_batch(
-            imgs, hw, boxes, classes, nvalid, randoms,
+            imgs, hw, boxes, classes, nvalid, randoms, nhw,
             out_size=self.input_size, max_labels=self.max_labels,
             flip_prob=self.flip_prob, hsv_prob=self.hsv_prob)

@@ -635,19 +635,29 @@ def mosaic_mixup_batch(tiles_u8, hw, nhw, boxes_xyxy, classes, nvalid,
 
     The batch runs in lax.map chunks so the (2H, 2W) canvases and pass
     intermediates never exist for more than ``chunk`` items at once.
+    Batches not divisible by ``chunk`` are padded up to the next multiple
+    (padded rows compute garbage that is sliced off) — the memory bound
+    holds for EVERY batch size, not just multiples of the chunk.
     """
     B = tiles_u8.shape[0]
     fn = jax.vmap(functools.partial(_mosaic_one, out_size=out_size))
-    c = math.gcd(B, chunk)
-    if c <= 1:
+    c = min(chunk, B)
+    if c <= 1 or B <= c:
         return fn(tiles_u8, hw, nhw, boxes_xyxy, classes, nvalid, mrand)
 
     def _chunk(args):
         return fn(*args)
 
+    pad = (-B) % c
+    arrays = (tiles_u8, hw, nhw, boxes_xyxy, classes, nvalid, mrand)
+    if pad:
+        # repeat the last item (not zeros: zero hw would divide by zero
+        # inside the padded lanes) — padded outputs are sliced off below
+        arrays = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], 0), arrays)
     parts = jax.tree_util.tree_map(
-        lambda x: x.reshape((B // c, c) + x.shape[1:]),
-        (tiles_u8, hw, nhw, boxes_xyxy, classes, nvalid, mrand))
+        lambda x: x.reshape(((B + pad) // c, c) + x.shape[1:]), arrays)
     out = jax.lax.map(_chunk, parts)
     return jax.tree_util.tree_map(
-        lambda x: x.reshape((B,) + x.shape[2:]), out)
+        lambda x: x.reshape((B + pad,) + x.shape[2:])[:B], out)

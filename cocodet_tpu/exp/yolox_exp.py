@@ -204,7 +204,8 @@ class Exp(BaseExp):
                 wrapped = DeviceAugDataset(mosaic, hsv_prob=self.hsv_prob)
                 collate_fn = make_device_collate(
                     src_size,
-                    max_boxes=getattr(self, "device_aug_max_boxes", 120))
+                    max_boxes=getattr(self, "device_aug_max_boxes", 120),
+                    out_size=self.input_size)
         return DetectionLoader(wrapped, batch_sampler,
                                num_workers=self.data_num_workers, seed=seed,
                                collate_fn=collate_fn)

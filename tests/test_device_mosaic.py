@@ -226,3 +226,28 @@ def test_trainer_device_mosaic_epoch(tmp_path):
     t = Trainer(exp, Args())
     t.train()
     assert np.isfinite(t.meter["loss"].latest)
+
+
+def test_chunked_batch_matches_unchunked():
+    """The lax.map chunking (with tail padding for batch sizes not
+    divisible by the chunk) must be invisible in the outputs — regression
+    test for the gcd-based chunking that silently disabled the memory
+    bound for coprime batch sizes."""
+    rs = np.random.RandomState(9)
+    dataset = FakeDataset(rs, n=10, img_size=(64, 64))
+    dev_ds = DeviceMosaicDataset(dataset, img_size=(64, 64), degrees=5.0,
+                                 translate=0.1, mosaic_scale=(0.8, 1.2),
+                                 mixup_scale=(0.7, 1.3), shear=1.0,
+                                 enable_mixup=True, mosaic_prob=1.0,
+                                 mixup_prob=1.0)
+    collate = make_mosaic_collate((64, 64), max_boxes=16)
+    items = [dev_ds.fetch(i, rng=random.Random(100 + i)) for i in range(6)]
+    batch, _, _, _ = collate(items)
+    args = (batch["mosaic_tiles"], batch["hw5"], batch["nhw5"],
+            batch["boxes5"], batch["classes5"], batch["nvalid5"],
+            batch["mrand"])
+    ref = mosaic_mixup_batch(*args, out_size=(64, 64), chunk=6)
+    out = mosaic_mixup_batch(*args, out_size=(64, 64), chunk=4)  # pad=2
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)

@@ -44,8 +44,6 @@ def main():
     import jax.numpy as jnp
 
     import bench
-    from cocodet_tpu.compress import quantize_model
-    from cocodet_tpu.models import build_model
     from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
 
     cfg = PostprocessConfig(conf_threshold=0.001, nms_threshold=0.55,
@@ -58,19 +56,10 @@ def main():
         slim_model, slim_vars = bench._build_slim()
         slim_vars = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.float32), dict(slim_vars))
-        spec = slim_model.slim
         if args.only != "bf16":
             print("# calibrating + quantizing on host CPU", flush=True)
-            calib_model = build_model("yolox-p6", depth=0.67, width=0.75,
-                                      fused=True, slim=spec,
-                                      dtype=jnp.bfloat16, quant="calib")
-            calib_imgs = jnp.asarray(
-                np.random.RandomState(1).rand(2, 256, 256, 3) * 255,
-                jnp.float32)
-            qvars = quantize_model(calib_model, slim_vars, [calib_imgs])
-            q_model = build_model("yolox-p6", depth=0.67, width=0.75,
-                                  fused=True, slim=spec,
-                                  dtype=jnp.bfloat16, quant="w8a8")
+            # the exact headline recipe — shared with bench.py main()
+            q_model, qvars = bench._quantize_slim(slim_model, slim_vars)
 
     device = jax.devices()[0]
     imgs = jax.device_put(

@@ -33,7 +33,9 @@ def main():
     ap.add_argument("-b", "--batch-size", type=int, default=8)
     ap.add_argument("--conf", type=float, default=0.001)
     ap.add_argument("--nms", type=float, default=0.65)
-    ap.add_argument("--half", action="store_true", default=True)
+    ap.add_argument("--half", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bf16 model compute (--no-half for float32)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("-o", "--out", default=None,
                     help="detections json path (default: alongside ckpt)")
