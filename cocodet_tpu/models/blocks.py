@@ -137,6 +137,22 @@ class ChannelMask(nn.Module):
 # --------------------------------------------------------------------------
 
 
+def fake_quant(v: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric int8 quantize-dequantize with a clipped straight-through
+    estimator: forward snaps ``v`` onto the int8 grid ``scale * [-127, 127]``
+    exactly like the deployment w8a8 path (compress/quantize.py); backward is
+    identity inside the representable range and zero outside (the ``clip``
+    carries the gradient gate, the rounding delta is ``stop_gradient``-ed).
+
+    ``scale`` broadcasts against ``v`` — a scalar for per-tensor activation
+    quantization, a per-out-channel vector for conv kernels.
+    """
+    v = v.astype(jnp.float32)
+    lo, hi = -127.0 * scale, 127.0 * scale
+    vc = jnp.clip(v, lo, hi)
+    return vc + jax.lax.stop_gradient(jnp.round(vc / scale) * scale - vc)
+
+
 class Conv2d(nn.Module):
     """Plain NHWC conv with optional elementwise kernel mask.
 
@@ -164,6 +180,11 @@ class Conv2d(nn.Module):
     #             the MXU, one rescale after.  Ref identity: compression
     #             track (ref 01_mask_generator.py:10-46) taken to the
     #             quantization axis the TPU rewards.
+    #   "qat"   — quantization-aware fine-tune: float kernel fake-quantized
+    #             per-out-channel on the fly, activations fake-quantized with
+    #             the frozen calibrated act_scale; straight-through gradients
+    #             (compress/qat.py).  The conv runs in f32 so the simulated
+    #             numerics match the deployed s8xs8->s32 path bit-for-bit.
     quant: Optional[str] = None
 
     @nn.compact
@@ -205,6 +226,21 @@ class Conv2d(nn.Module):
                 xq, kernel, preferred_element_type=jnp.int32, **conv_kw)
             y = (y.astype(jnp.float32)
                  * (a_scale * w_scale)).astype(dtype)
+        elif self.quant == "qat":
+            # QAT simulation of the w8a8 deployment numerics: the weight
+            # scale is dynamic (tracks the fine-tuned kernel exactly as the
+            # post-QAT requantization will snapshot it), the activation
+            # scale is the frozen calibration value — matching the deployed
+            # graph, which cannot re-calibrate per input.
+            a_scale = self.variable(
+                "quant", "act_scale",
+                lambda: jnp.ones((), jnp.float32)).value
+            kf = kernel.astype(jnp.float32)
+            w_scale = jax.lax.stop_gradient(jnp.maximum(
+                jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0)
+            y = jax.lax.conv_general_dilated(
+                fake_quant(x, a_scale), fake_quant(kf, w_scale), **conv_kw
+            ).astype(dtype)
         else:
             if kernel.dtype == jnp.int8:
                 raise ValueError(

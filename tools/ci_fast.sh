@@ -13,5 +13,7 @@ exec python -m pytest -q \
     tests/test_fuse_compress.py \
     tests/test_multiprocess.py::test_two_process_allgather \
     tests/test_slim.py::test_slim_exact_when_offsets_zero \
+    tests/test_qat.py::test_fake_quant_grid_and_ste \
+    tests/test_qat.py::test_fake_quant_per_channel_broadcast \
     tests/test_overfit.py::test_loss_decreases_fast \
     -m "" "$@"
