@@ -107,6 +107,12 @@ class CSPBackbone(nn.Module):
     weight_mask: bool = False
     remat: bool = False  # rematerialize CSP stages (memory for FLOPs)
     slim: Optional[Dict[str, Any]] = None  # {"darkN_csp": {i: (hid, out)}}
+    # Deployment-only stem rewrite: replace Focus (space-to-depth + 3x3
+    # conv) with the mathematically identical 6x6 stride-2 conv on the
+    # full-res 3-channel image (ops/fuse.py fold_focus_stem converts the
+    # trained weights exactly).  Candidate TPU win: the strided
+    # slice-concat becomes one conv with no HBM re-gather.
+    stem6: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -122,10 +128,18 @@ class CSPBackbone(nn.Module):
 
         slim = self.slim or {}
         outputs: Dict[str, Any] = {}
-        x = Focus(int(slim.get("stem", base)), kernel_size=3, act=self.act,
-                  order=_FOCUS_ORDER[self.variant],
-                  use_mask=self.use_mask,
-                  weight_mask=self.weight_mask, name="stem", **kw)(x, train)
+        if self.stem6:
+            assert self.fused, "stem6 is a deployment (fused) topology"
+            # kernel 6, stride 2: Conv2d pads (k-1)//2 = 2 on each side —
+            # exactly the zero-pad the Focus 3x3 conv applies at half-res
+            x = ConvBnAct(int(slim.get("stem", base)), kernel_size=6,
+                          stride=2, act=self.act, name="stem", **kw)(x, train)
+        else:
+            x = Focus(int(slim.get("stem", base)), kernel_size=3,
+                      act=self.act, order=_FOCUS_ORDER[self.variant],
+                      use_mask=self.use_mask,
+                      weight_mask=self.weight_mask, name="stem",
+                      **kw)(x, train)
         outputs["stem"] = x
 
         for spec in stages:

@@ -77,6 +77,7 @@ class YOLOPAFPN(nn.Module):
     weight_mask: bool = False
     remat: bool = False
     slim: Optional[Dict[str, Any]] = None  # backbone stage slim map
+    stem6: bool = False  # deployment Focus->6x6s2 rewrite (darknet.py)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -122,6 +123,7 @@ class YOLOPAFPN(nn.Module):
             weight_mask=self.weight_mask,
             remat=self.remat,
             slim=self.slim,
+            stem6=self.stem6,
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="backbone",

@@ -71,6 +71,7 @@ class YOLOX(nn.Module):
     weight_mask: bool = False
     remat: bool = False
     slim: Optional[Any] = None  # backbone channel-slim map (compress.merge)
+    stem6: bool = False  # deployment Focus->6x6s2 rewrite (ops/fuse.py)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -99,6 +100,7 @@ class YOLOX(nn.Module):
             weight_mask=self.weight_mask,
             remat=self.remat,
             slim=self.slim,
+            stem6=self.stem6,
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="backbone",

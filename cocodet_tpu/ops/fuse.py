@@ -83,6 +83,71 @@ def fuse_batchnorm(variables: Dict[str, Any], eps: float = 1e-3) -> Dict[str, An
     return {"params": unflatten_dict(fused)}
 
 
+def fold_focus_stem(params: Dict[str, Any],
+                    order: str = "pixel_unshuffle") -> Dict[str, Any]:
+    """Rewrite a fused deployment tree's Focus stem into the equivalent
+    6x6 stride-2 conv (build the model with ``stem6=True`` to consume it).
+
+    Math: Focus computes conv3x3(space_to_depth(x)).  With xd the
+    half-res 4c-channel tensor, xd[p, q, ch(i, j, cc)] = x[2p+i, 2q+j, cc]
+    (row offset i, col offset j — channel packing per ``order``, see
+    blocks.space_to_depth), so
+
+        y[p, q, o] = sum_{u,v,i,j,cc} k3[u, v, ch(i,j,cc), o]
+                                      * x[2(p+u-1)+i, 2(q+v-1)+j, cc]
+
+    which is a stride-2 conv with a 6x6 kernel indexed r = 2u+i, s = 2v+j
+    and symmetric zero-padding of 2 — exactly what Conv2d(kernel_size=6,
+    stride=2) applies ((k-1)//2 = 2), since the Focus 3x3 conv zero-pads
+    the half-res image by 1.  The rewrite is a pure permutation of kernel
+    entries: exact in every dtype, including int8 w8a8 kernels (the
+    per-out-channel scales and the input act_scale are unaffected).
+
+    Ref context: Focus slice-concat ref network_blocks.py:333-346,
+    FocusCustom pixel_unshuffle ref network_blocks.py:350-361.  The
+    reference never had this rewrite; on TPU it removes the 4 strided HBM
+    gathers of space-to-depth from the inference graph.
+    """
+    flat = flatten_dict(unfreeze(params))
+    # YOLOX -> PAFPN "backbone" -> CSPBackbone "backbone" -> Focus "stem"
+    stem = ("backbone", "backbone", "stem")
+    kpath = stem + ("conv", "conv", "kernel")
+    bpath = stem + ("conv", "conv", "bias")
+    assert kpath in flat, "params has no fused Focus stem (backbone/backbone/stem/conv/conv)"
+    k3 = flat.pop(kpath)
+    kh, kw_, c4, w = k3.shape
+    assert (kh, kw_) == (3, 3) and c4 % 4 == 0, k3.shape
+    c = c4 // 4
+    if order == "pixel_unshuffle":
+        # ch = cc*4 + i*2 + j -> (u, v, cc, i, j, o)
+        t = k3.reshape(3, 3, c, 2, 2, w)
+        k6 = t.transpose(0, 3, 1, 4, 2, 5).reshape(6, 6, c, w)
+    elif order == "slice_cat":
+        # ch = (j*2 + i)*c + cc -> (u, v, j, i, cc, o)
+        t = k3.reshape(3, 3, 2, 2, c, w)
+        k6 = t.transpose(0, 3, 1, 2, 4, 5).reshape(6, 6, c, w)
+    else:
+        raise ValueError(order)
+    flat[stem + ("conv", "kernel")] = k6
+    bias = flat.pop(bpath, None)
+    if bias is not None:
+        flat[stem + ("conv", "bias")] = bias
+    return unflatten_dict(flat)
+
+
+def fold_focus_quant(quant: Dict[str, Any]) -> Dict[str, Any]:
+    """Re-home the stem's quant scales for a fold_focus_stem'd tree: the
+    scales themselves are unchanged (same input values, same per-out-channel
+    kernels), only the module path shortens by the Focus wrapper level."""
+    flat = flatten_dict(unfreeze(quant))
+    out = {}
+    for path, v in flat.items():
+        if path[:5] == ("backbone", "backbone", "stem", "conv", "conv"):
+            path = path[:4] + path[5:]
+        out[path] = v
+    return unflatten_dict(out)
+
+
 def bn_stats_allreduce(batch_stats: Dict[str, Any], axis_name: str):
     """Cross-replica mean of BN running stats.
 

@@ -63,6 +63,9 @@ def build_model_and_vars(cfg, rng_seed: int = 0):
         slim = load_slim_spec(cfg["slim_spec"])
         print(f"channel-slim spec: {len(slim)} csp layers")
     quant = cfg.get("quant")  # "w8a8": int8 PTQ ckpt (compress/quantize.py)
+    # stem6: serve the Focus stem as its equivalent 6x6 s2 conv
+    # (ops/fuse.py fold_focus_stem rewrites the loaded weights exactly)
+    stem6 = bool(cfg.get("stem6", False))
     model = build_model(
         name,
         depth=float(mcfg.get("depth", 0.67)),
@@ -70,6 +73,7 @@ def build_model_and_vars(cfg, rng_seed: int = 0):
         fused=True,
         slim=slim,
         quant=quant,
+        stem6=stem6,
         dtype=jnp.bfloat16 if cfg.get("half", True) else jnp.float32,
     )
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -90,8 +94,16 @@ def build_model_and_vars(cfg, rng_seed: int = 0):
 
             loaded = load_checkpoint(ckpt)
             tree = loaded.get("model", loaded)
+            ckpt_params = tree.get("params", tree)
+            if stem6:
+                from cocodet_tpu.models.darknet import _FOCUS_ORDER
+                from cocodet_tpu.ops.fuse import fold_focus_stem
+
+                variant = "p6" if "p6" in name else "standard"
+                ckpt_params = fold_focus_stem(
+                    ckpt_params, order=_FOCUS_ORDER[variant])
             variables = {"params": load_matched(
-                variables["params"], tree.get("params", tree))}
+                variables["params"], ckpt_params)}
             if quant == "w8a8":
                 # int8 PTQ ckpt (tools/quantize_model.py): per-conv act/
                 # weight scales ride in the "quant" collection
@@ -100,8 +112,13 @@ def build_model_and_vars(cfg, rng_seed: int = 0):
                         f"config asks for quant={quant!r} but {ckpt} has no "
                         "'quant' collection — produce one with "
                         "tools/quantize_model.py")
+                quant_tree = tree["quant"]
+                if stem6:
+                    from cocodet_tpu.ops.fuse import fold_focus_quant
+
+                    quant_tree = fold_focus_quant(quant_tree)
                 variables["quant"] = jax.tree_util.tree_map(
-                    jnp.asarray, tree["quant"])
+                    jnp.asarray, quant_tree)
         print(f"loaded checkpoint {ckpt}")
     else:
         print("WARNING: no checkpoint — random weights (dummy-quality output)")

@@ -40,6 +40,10 @@ def main():
                          "(bench.py's random tied pattern)")
     ap.add_argument("--pallas", action="store_true",
                     help="use the pallas overlap-matrix NMS kernel")
+    ap.add_argument("--stem6", action="store_true",
+                    help="serve the Focus stem as the equivalent 6x6 s2 "
+                         "conv (ops/fuse.py fold_focus_stem) — A/B the "
+                         "space-to-depth HBM re-gather against one conv")
     args = ap.parse_args()
 
     import jax
@@ -61,11 +65,24 @@ def main():
     rng = jax.random.PRNGKey(0)
     strides = (8, 16, 32, 64)
 
+    variables = (slim_vars if args.slim
+                 else jax.jit(model.init)(
+                     rng, jnp.zeros((1, args.size, args.size, 3),
+                                    jnp.float32)))
+    if args.stem6:
+        from cocodet_tpu.ops.fuse import fold_focus_stem
+
+        variables = dict(variables)
+        variables["params"] = fold_focus_stem(
+            variables["params"], order="pixel_unshuffle")
+        model = build_model("yolox-p6", depth=0.67, width=0.75,
+                            dtype=jnp.bfloat16, fused=True,
+                            slim=getattr(model, "slim", None),
+                            stem6=True)
+
     for b in args.batches:
         x = jnp.asarray(np.random.rand(b, args.size, args.size, 3) * 255,
                         jnp.float32)
-        variables = (slim_vars if args.slim
-                     else jax.jit(model.init)(rng, x[:1]))
 
         fwd = jax.jit(lambda im: model.apply(variables, im))
 

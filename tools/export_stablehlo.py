@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--slim-spec", default=None,
                     help="channel-slim spec json: export the slimmed "
                          "deployment model (pipeline stage-5 artifact)")
+    ap.add_argument("--stem6", action="store_true",
+                    help="export with the Focus stem rewritten as the "
+                         "equivalent 6x6 s2 conv (ops/fuse.py "
+                         "fold_focus_stem)")
     ap.add_argument("--quant", default=None, choices=[None, "w8a8"],
                     help="export the int8-PTQ model (ckpt must carry the "
                          "'quant' collection from tools/quantize_model.py)")
@@ -71,7 +75,7 @@ def main():
     x_spec = jax.ShapeDtypeStruct(
         (args.batch_size, args.tsize, args.tsize, 3), jnp.float32)
 
-    if args.slim_spec or args.quant:
+    if args.slim_spec or args.quant or args.stem6:
         # deployment artifacts (slim / int8) load through the SAME builder
         # the submission harness uses, so the exported graph is exactly the
         # served program
@@ -87,7 +91,7 @@ def main():
                       "width": (args.width if args.width is not None
                                 else exp.width)},
             "ckpt": args.ckpt, "slim_spec": args.slim_spec,
-            "quant": args.quant, "half": True,
+            "quant": args.quant, "stem6": args.stem6, "half": True,
         })
     else:
         model = exp.get_model(fused=True)
