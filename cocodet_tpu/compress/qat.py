@@ -36,23 +36,29 @@ import optax
 from flax.traverse_util import flatten_dict, unflatten_dict
 
 from ..ops.losses import yolox_losses
+from ..utils.ema import ema_update
 from .quantize import quantize_weights
 
 
 def make_qat_step(model, optimizer, strides: Sequence[int],
                   num_classes: int = 80, iou_type: str = "giou",
-                  donate: bool = True) -> Callable:
+                  ema_decay: float = 0.0, donate: bool = True) -> Callable:
     """Jitted QAT fine-tune step for a ``quant="qat"`` fused model.
 
     Differences from core.train_state.make_train_step: no BN collection
-    (fused topology), no EMA (short recovery tunes deploy the final
-    params), and the frozen "quant" collection (activation scales) rides
-    along as a step argument.
+    (fused topology), and the frozen "quant" collection (activation
+    scales) rides along as a step argument.
+
+    ema_decay > 0 additionally maintains an EMA shadow of the params
+    (pass/receive it as the ``ema`` step argument and deploy the shadow):
+    the slim checkpoints this stage fine-tunes are themselves EMA/distill
+    optima, and raw SGD steps walk off them — the same pathology the
+    prune-recovery Tuner hit before its EMA fix (ROADMAP round-2 notes).
     """
 
     @functools.partial(jax.jit, static_argnames=("use_l1",),
-                       donate_argnums=(0, 1) if donate else ())
-    def qat_step(params, opt_state, quant, images, labels,
+                       donate_argnums=(0, 1, 2) if donate else ())
+    def qat_step(params, opt_state, ema, quant, images, labels,
                  use_l1: bool = True):
         def loss_fn(p):
             outputs = model.apply({"params": p, "quant": quant}, images,
@@ -66,10 +72,12 @@ def make_qat_step(model, optimizer, strides: Sequence[int],
             loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        if ema_decay > 0.0 and ema is not None:
+            ema = ema_update(ema, new_params, decay=ema_decay)
         metrics = {"loss": losses.total, "iou_loss": losses.iou,
                    "obj_loss": losses.obj, "cls_loss": losses.cls,
                    "l1_loss": losses.l1}
-        return new_params, new_opt_state, metrics
+        return new_params, new_opt_state, ema, metrics
 
     return qat_step
 

@@ -96,14 +96,26 @@ def test_qat_step_descends(qat_setup):
     params = variables["params"]
     opt_state = tx.init(params)
     step = make_qat_step(qat_m, tx, strides=(8, 16, 32, 64),
-                         num_classes=80, donate=False)
+                         num_classes=80, ema_decay=0.9, donate=False)
+    from cocodet_tpu.utils.ema import EMAState, ema_init
+
+    ema = ema_init(params)
+    ema = EMAState(shadow=ema.shadow, updates=jnp.asarray(50_000, jnp.int32))
+    p0 = jax.tree_util.tree_leaves(params)[0].copy()
     losses = []
     for _ in range(5):
-        params, opt_state, metrics = step(params, opt_state, quant,
-                                          imgs, labels)
+        params, opt_state, ema, metrics = step(params, opt_state, ema,
+                                               quant, imgs, labels)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+    # the EMA shadow lags the raw iterate: after 5 steps at decay=0.9 it
+    # sits between the init and the live params, closer to the live ones
+    s0 = jax.tree_util.tree_leaves(ema.shadow)[0]
+    live0 = jax.tree_util.tree_leaves(params)[0]
+    drift = float(np.abs(np.asarray(live0) - np.asarray(p0)).max())
+    lag = float(np.abs(np.asarray(s0) - np.asarray(live0)).max())
+    assert drift > 0.0 and 0.0 < lag <= drift
     # the act scales are frozen: the step must not have touched them
     flat = jax.tree_util.tree_leaves(act_scale_tree(quant))
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
