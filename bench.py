@@ -54,6 +54,14 @@ os.environ.setdefault(
 BATCH, SIZE = 128, 640
 STRIDES = (8, 16, 32, 64)
 
+if "--smoke" in sys.argv:
+    # CPU path validation only (the full headline recipe at toy shapes,
+    # forced onto the host backend): proves the build->quantize->jit->
+    # measure->print chain executes end-to-end without a TPU.  Numbers
+    # printed under --smoke are NOT benchmarks.  256px keeps the anchor
+    # count (1360) above pre_nms_topk=1024 like the production 640.
+    BATCH, SIZE = 4, 256
+
 
 def _progress(msg):
     """Non-JSON progress line: resets the watchdog's stall timer."""
@@ -148,8 +156,11 @@ def _quantize_slim(slim_model, slim_vars):
     return q_model, qvars
 
 
-def main(dense=False, bf16=False):
+def main(dense=False, bf16=False, smoke=False):
     import jax
+
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from cocodet_tpu.ops.postprocess import PostprocessConfig, postprocess
@@ -317,7 +328,11 @@ def _run_with_watchdog():
 
 
 if __name__ == "__main__":
-    if os.environ.get("_COCODET_BENCH_CHILD") == "1":
+    if "--smoke" in sys.argv:
+        # direct, no watchdog/tunnel probe: CPU-only code-path check
+        main(dense="--dense" in sys.argv, bf16="--bf16" in sys.argv,
+             smoke=True)
+    elif os.environ.get("_COCODET_BENCH_CHILD") == "1":
         main(dense="--dense" in sys.argv, bf16="--bf16" in sys.argv)
     else:
         raise SystemExit(_run_with_watchdog())

@@ -362,9 +362,9 @@ class Pruner(Trainer):
                                           exp.num_classes, exp.iou_type)
         self._setup_mesh(batch_size)
         self.evaluator = exp.get_evaluator(batch_size=batch_size)
-        if self.data_sharding is not None and hasattr(self.evaluator,
+        if self.eval_sharding is not None and hasattr(self.evaluator,
                                                       "sharding"):
-            self.evaluator.sharding = self.data_sharding
+            self.evaluator.sharding = self.eval_sharding
         import random as _random
         self.size_rng = _random.Random((exp.seed or 0) + 1234)
         from ..data.samplers import DevicePrefetcher

@@ -132,9 +132,9 @@ class Trainer:
 
         self.evaluator = exp.get_evaluator(
             batch_size=batch_size, is_distributed=jax.process_count() > 1)
-        if self.data_sharding is not None and hasattr(self.evaluator,
+        if self.eval_sharding is not None and hasattr(self.evaluator,
                                                       "sharding"):
-            self.evaluator.sharding = self.data_sharding
+            self.evaluator.sharding = self.eval_sharding
         self.size_rng = random.Random((exp.seed or 0) + 1234)
         self.prefetcher = DevicePrefetcher(self.train_loader,
                                            sharding=self.data_sharding)
@@ -155,13 +155,46 @@ class Trainer:
         are replicated, batches batch-sharded over the "data" axis; jit/GSPMD
         inserts the gradient psums AND computes BN stats over the GLOBAL
         batch (true SyncBN) over ICI. If the batch doesn't divide over all
-        devices, the largest device count that divides it is used."""
+        devices, the largest device count that divides it is used.
+
+        exp.spatial_devices > 1 adds a second "space" mesh axis that shards
+        image HEIGHT (GSPMD conv halos) — activation-memory scale-out for
+        operating points that OOM one chip (device-mosaic b128@640/G=120
+        needs 14.7 GB vs the 16 GB v5e, ROADMAP.md).  Numerically identical
+        to the 1-D mesh (tests/test_training.py 2-D parity test); the
+        serving-side counterpart is harness spatial_partition mode."""
         self.mesh = None
         self.data_sharding = None
+        self.eval_sharding = None
         n_dev = jax.device_count()
+        spatial = int(getattr(self.exp, "spatial_devices", 1) or 1)
         if n_dev > 1:
             import math as _math
 
+            if spatial > 1:
+                if n_dev % spatial:
+                    raise ValueError(
+                        f"spatial_devices={spatial} must divide the device "
+                        f"count {n_dev}")
+                self._check_spatial_sizes(spatial)
+                from ..parallel import batch_sharding_fn, image_sharding, \
+                    make_mesh_2d
+
+                rows = n_dev // spatial
+                use = _math.gcd(batch_size, rows)
+                if use < rows:
+                    logger.warning(
+                        "batch_size %d not divisible by %d data rows; "
+                        "using a (%d, %d) mesh", batch_size, rows, use,
+                        spatial)
+                self.mesh = make_mesh_2d(
+                    spatial, jax.devices()[:use * spatial])
+                self.data_sharding = batch_sharding_fn(self.mesh)
+                self.eval_sharding = image_sharding(self.mesh)
+                self.state = replicate(self.mesh, self.state)
+                logger.info("training over a (%d data x %d space) mesh",
+                            use, spatial)
+                return
             use = _math.gcd(batch_size, n_dev)
             if use < n_dev:
                 logger.warning(
@@ -173,8 +206,34 @@ class Trainer:
                 self.mesh = make_mesh(jax.devices()[:use])
                 self.data_sharding = NamedSharding(
                     self.mesh, PartitionSpec("data"))
+                self.eval_sharding = self.data_sharding
                 self.state = replicate(self.mesh, self.state)
                 logger.info("training over a %d-device data mesh", use)
+
+    def _check_spatial_sizes(self, spatial: int):
+        """Spatial-sharding validity guard, MEASURED boundary (f64
+        differential study, ROADMAP.md round-3 session 3): XLA SPMD
+        produces exactly-integer-factor WRONG conv gradients once a
+        sharded feature map degenerates to <2 rows per device (H=128
+        input -> 237 bad leaves, worst 16x; H=256 -> all grads exact to
+        1e-12).  Every training size (input_size + all multiscale
+        buckets) must therefore keep the deepest map evenly divided with
+        >=2 rows per space device: H % (max_stride*spatial) == 0 and
+        H >= 2*spatial*max_stride."""
+        exp = self.exp
+        max_stride = max(exp.strides)
+        sizes = list(exp.multiscale_sizes())
+        if tuple(exp.input_size) not in sizes:
+            sizes.append(tuple(exp.input_size))
+        for h, w in sizes:
+            if h % (max_stride * spatial) or h < 2 * spatial * max_stride:
+                raise ValueError(
+                    f"spatial_devices={spatial}: training size {h} is in "
+                    f"the measured-unsafe sharding regime (need H % "
+                    f"{max_stride * spatial} == 0 and H >= "
+                    f"{2 * spatial * max_stride} so every feature map "
+                    f"keeps >=2 evenly-divided rows per space device; "
+                    f"see Trainer._check_spatial_sizes)")
 
     def _load_init_ckpt(self, path: str):
         ckpt = (self._init_tree if getattr(self, "_init_tree", None)

@@ -195,12 +195,20 @@ class DevicePrefetcher:
     """
 
     def __init__(self, loader, device=None, sharding=None):
+        """``sharding`` may be a Sharding or a callable ``array ->
+        Sharding`` (mixed-rank batches on a 2-D mesh: images shard over
+        (data, space), labels over data only — parallel.batch_sharding_fn)."""
         import jax
 
         self._it = iter(loader)
-        self._put = (
-            (lambda x: jax.device_put(x, sharding)) if sharding is not None
-            else (lambda x: jax.device_put(x, device)))
+        if callable(sharding):
+            # per-leaf chooser (raw-buffer dict batches mix ranks)
+            self._put = lambda x: jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding(a)), x)
+        elif sharding is not None:
+            self._put = lambda x: jax.device_put(x, sharding)
+        else:
+            self._put = lambda x: jax.device_put(x, device)
         self._next = self._load()
 
     def _load(self):

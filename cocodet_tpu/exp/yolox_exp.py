@@ -90,6 +90,11 @@ class Exp(BaseExp):
         # (enables e.g. b128@640 with mosaic-density labels on a 16G v5e,
         # see ROADMAP.md "device-mosaic memory envelope")
         self.remat = False
+        # spatial_devices: columns of a 2-D (data, space) training mesh —
+        # shards image HEIGHT over the second axis (GSPMD conv halos) so
+        # activation memory scales out across chips; 1 = plain DP
+        # (parallel.make_mesh_2d; numerics identical, tests/test_training.py)
+        self.spatial_devices = 1
         self.warmup_epochs = 5
         self.max_epoch = 300
         self.warmup_lr = 0.0

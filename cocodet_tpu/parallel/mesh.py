@@ -14,10 +14,12 @@ Parity map (SURVEY.md §2.6):
   - gloo pickle gather of detections (ref dist.py:186-265)
                                      -> multihost_utils.process_allgather
 
-The mesh is 1-D ("data") because the model is a 25M-param CNN (SURVEY.md
-§2.6: DP is the only strategy the reference has); the helpers accept an
-arbitrary axis dict so a second axis (e.g. spatial) can be added without
-touching call sites.
+The default mesh is 1-D ("data") because the model is a 25M-param CNN
+(SURVEY.md §2.6: DP is the only strategy the reference has).  Beyond the
+reference, make_mesh_2d adds a ("data", "space") mesh that additionally
+shards image HEIGHT — activation-memory scale-out for training (GSPMD conv
+halos; Trainer wires it via exp.spatial_devices) mirroring the harness's
+spatial_partition serving mode.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -47,20 +50,58 @@ def make_mesh(devices: Optional[Sequence[Any]] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_2d(n_space: int,
+                 devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """(data, space) mesh: batch sharded over rows, image HEIGHT over
+    columns.  The spatial axis is the memory scale-out for training — each
+    device holds H/n_space of every activation, so operating points that
+    OOM one chip (measured: device-mosaic b128@640/G=120 needs 14.7 GB vs
+    the 16 GB v5e, ROADMAP.md) fit on a slice with NO semantic change:
+    GSPMD inserts the conv halo exchanges, BN batch stats and the loss
+    reduce over the global batch exactly as on the 1-D mesh.  Serving-side
+    counterpart: harness spatial_partition mode (harness/main.py)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % n_space:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"n_space={n_space}")
+    return Mesh(np.array(devices).reshape(-1, n_space),
+                (DATA_AXIS, SPACE_AXIS))
+
+
 def data_sharding(mesh: Mesh, ndim: int, axis_name: str = DATA_AXIS
                   ) -> NamedSharding:
     """Shard dim 0 (batch) over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
 
 
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC image batches: batch over "data", height over "space" when the
+    mesh has a spatial axis (make_mesh_2d), else batch-only."""
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_sharding_fn(mesh: Mesh):
+    """Per-array sharding chooser for mixed batches: 4-D arrays are NHWC
+    images (height-shardable on a 2-D mesh); labels/ids shard batch-only."""
+    def choose(x) -> NamedSharding:
+        if np.ndim(x) == 4:
+            return image_sharding(mesh)
+        return data_sharding(mesh, np.ndim(x))
+    return choose
+
+
 def shard_batch(mesh: Mesh, batch):
-    """device_put a host batch with batch-dim sharding."""
+    """device_put a host batch with batch-dim (+ height on a 2-D mesh)
+    sharding."""
+    choose = batch_sharding_fn(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
+        lambda x: jax.device_put(x, choose(x)), batch)
 
 
 def replicate(mesh: Mesh, tree):

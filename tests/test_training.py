@@ -129,3 +129,83 @@ def test_dp_sharded_train_step():
                              jax.device_get(labels))
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics2["loss"]), rtol=1e-4)
+
+
+def test_2d_mesh_spatial_loss_parity():
+    """(data, space) mesh: image HEIGHT sharded over the second axis
+    (parallel.make_mesh_2d) — forward/loss parity vs single device.
+
+    Gradient parity is NOT asserted at this 64px size: it sits in the
+    measured-unsafe XLA SPMD regime (deepest map < 2 rows per space
+    device -> exactly-integer-factor wrong conv grads, persisting at
+    f64) that Trainer._check_spatial_sizes rejects for real training.
+    Full f64 grad parity at a guard-valid size runs in the slow tier
+    (test_2d_mesh_grad_parity_f64)."""
+    from cocodet_tpu.parallel import make_mesh_2d, replicate, shard_batch
+
+    mesh = make_mesh_2d(2)  # (4 data, 2 space) over the 8 cpu devices
+    assert mesh.devices.shape == (4, 2)
+    model, state, step, _, _ = _setup(use_ema=False)
+    rng = jax.random.PRNGKey(3)
+    imgs_h = jax.random.uniform(rng, (4, 64, 64, 3)) * 255.0
+    labels_h = jnp.tile(
+        jnp.asarray([[[1.0, 32.0, 32.0, 16.0, 16.0]] + [[0.0] * 5] * 4]),
+        (4, 1, 1))
+    state_m = replicate(mesh, state)
+    imgs, labels = shard_batch(mesh, (imgs_h, labels_h))
+    # images sharded (data, space); labels batch-only
+    assert "space" in str(imgs.sharding.spec)
+    assert "space" not in str(labels.sharding.spec)
+    state_m, metrics = step(state_m, imgs, labels)
+
+    model2, state2, step2, _, _ = _setup(use_ema=False)
+    state2, metrics2 = step2(state2, imgs_h, labels_h)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics2["loss"]), rtol=1e-4)
+
+
+def test_spatial_size_guard():
+    """Trainer rejects training sizes in the measured-unsafe spatial-
+    sharding regime (the f64 study's boundary: every map needs >=2
+    evenly-divided rows per space device)."""
+    from types import SimpleNamespace
+
+    from cocodet_tpu.core.trainer import Trainer
+    from cocodet_tpu.exp import get_exp
+
+    exp = get_exp(exp_name="yolox-m-p6")
+    exp.input_size = (256, 256)
+    exp.multiscale_range = 0
+    fake = SimpleNamespace(exp=exp)
+    Trainer._check_spatial_sizes(fake, 2)  # 256/64/2 = 2 rows/dev: ok
+
+    exp.input_size = (128, 128)  # 1 row/device at stride 64: unsafe
+    with pytest.raises(ValueError, match="unsafe sharding regime"):
+        Trainer._check_spatial_sizes(fake, 2)
+
+    exp.input_size = (640, 640)
+    exp.multiscale_step = 64
+    exp.multiscale_range = 1  # buckets 576/640/704; 576/64=9 odd: unsafe
+    with pytest.raises(ValueError, match="unsafe sharding regime"):
+        Trainer._check_spatial_sizes(fake, 2)
+
+
+@pytest.mark.slow
+def test_2d_mesh_grad_parity_f64():
+    """Full f64 gradient parity, single device vs the (4 data, 2 space)
+    mesh, at a guard-valid size (256x64: deepest map 4 rows = 2 rows per
+    space device).  Runs in a subprocess because jax_enable_x64 is
+    process-global.  Measured: at this size every param grad matches to
+    ~1e-12; one halving of H puts it in the broken regime (worst 16x)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    script = os.path.join(os.path.dirname(__file__),
+                          "spatial_parity_f64.py")
+    out = subprocess.run([sys.executable, script], env=env,
+                         capture_output=True, text=True, timeout=2400)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "SPATIAL_PARITY_OK" in out.stdout, out.stdout + out.stderr
