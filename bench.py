@@ -214,6 +214,8 @@ def main(dense=False, bf16=False, smoke=False):
     # the driver's parser.
     metric = ("yolox_m_p6_pruned49_slim32_infer_640_bs128" if bf16 else
               "yolox_m_p6_pruned49_slim32_w8a8_infer_640_bs128")
+    if smoke:
+        metric = f"SMOKE_cpu_{SIZE}_bs{BATCH}_" + metric
     print(json.dumps({
         "metric": metric,
         "value": round(slim_img_s, 2),

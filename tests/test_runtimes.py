@@ -232,3 +232,33 @@ def test_trainer_mesh_matches_single_device(coco_root, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         t_mesh.meter["loss"].latest, t_single.meter["loss"].latest,
         rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_trainer_spatial_mesh_epoch(coco_root, tmp_path):
+    """End-to-end Trainer epoch on the 2-D (4 data x 2 space) mesh:
+    exp.spatial_devices wires make_mesh_2d through _setup_mesh, the
+    DevicePrefetcher's per-leaf sharding chooser, and the evaluator
+    image sharding.  256px input satisfies the measured spatial-sharding
+    validity guard (>=2 rows per space device at stride 64; see
+    Trainer._check_spatial_sizes and tests/spatial_parity_f64.py)."""
+    from cocodet_tpu.core.trainer import Trainer
+
+    exp = TinyExp(coco_root)
+    exp.input_size = exp.test_size = (256, 256)
+    exp.spatial_devices = 2
+    exp.no_aug_epochs = -1  # keep eval out of the loop (compile cost)
+    exp.output_dir = str(tmp_path)
+
+    class SpArgs(Args):
+        batch_size = 4
+
+    t = Trainer(exp, SpArgs())
+    t.train()
+    assert t.mesh is not None and t.mesh.devices.shape == (4, 2)
+    assert int(t.state.step) == t.iters_per_epoch
+    assert np.isfinite(t.meter["loss"].latest)
+    # the image batch really lands height-sharded over all 8 devices
+    imgs = t.prefetcher.next()[0]
+    assert len(imgs.sharding.device_set) == 8
+    assert "space" in str(imgs.sharding.spec)
