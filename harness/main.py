@@ -157,7 +157,7 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
 
     aug = cfg.get("input_aug", True)
 
-    # Multi-chip serving, two orthogonal modes (the evaluators' mesh
+    # Multi-chip serving, two composable modes (the evaluators' mesh
     # sharding brought to the serving side; params replicated, XLA
     # partitions the one jitted program, detections gather in drain()):
     #   data_parallel:     shard the BATCH dim — throughput scale-out.
@@ -165,24 +165,52 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
     #     for high-res single/small-batch requests; XLA GSPMD inserts the
     #     conv halo exchanges (verified bit-parity on the virtual mesh,
     #     tests/test_harness_dp.py).
+    #   both (spatial_partition = int S): 2-D (n/S, S) serving mesh —
+    #     batch AND height sharded, for large slices.
     dp = bool(cfg.get("data_parallel", False))
-    sp = bool(cfg.get("spatial_partition", False))
-    if dp and sp:
-        raise ValueError("data_parallel and spatial_partition are "
-                         "mutually exclusive (one mesh axis)")
+    sp_cfg = cfg.get("spatial_partition", False)
+    # spatial_partition accepts true (height over ALL devices) or an
+    # integer S (height over S devices — required when combining with
+    # data_parallel, where the mesh becomes (n/S data, S space) 2-D).
+    sp_n = 0
+    if sp_cfg:
+        sp_n = -1 if isinstance(sp_cfg, bool) else int(sp_cfg)
     data_sharding = None
-    if dp or sp:
+    if dp or sp_n:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
         devices = jax.devices()
+        n = len(devices)
         bsz = int(cfg["dataloader"]["batch_size"])
-        if dp and bsz % len(devices):
-            raise ValueError(
-                f"data_parallel: batch_size {bsz} must be a multiple of "
-                f"the device count {len(devices)}")
-        mesh = Mesh(np.asarray(devices), ("ax",))
-        data_sharding = NamedSharding(
-            mesh, PartitionSpec("ax") if dp else PartitionSpec(None, "ax"))
+        if dp and sp_n:
+            # 2-D serving mesh: batch over rows, image height over
+            # columns — throughput AND per-image latency scale-out on
+            # larger slices (forward-only; the training-side grad
+            # boundary in Trainer._check_spatial_sizes does not apply)
+            if sp_n <= 1 or n % sp_n:
+                raise ValueError(
+                    "combined data_parallel + spatial_partition needs "
+                    f"spatial_partition set to an integer >1 dividing "
+                    f"the device count {n}")
+            rows = n // sp_n
+            if bsz % rows:
+                raise ValueError(
+                    f"data_parallel: batch_size {bsz} must be a multiple "
+                    f"of the {rows} data rows of the ({rows}, {sp_n}) mesh")
+            mesh = Mesh(np.asarray(devices).reshape(rows, sp_n),
+                        ("ax", "sp"))
+            data_sharding = NamedSharding(mesh, PartitionSpec("ax", "sp"))
+        elif dp:
+            if bsz % n:
+                raise ValueError(
+                    f"data_parallel: batch_size {bsz} must be a multiple "
+                    f"of the device count {n}")
+            mesh = Mesh(np.asarray(devices), ("ax",))
+            data_sharding = NamedSharding(mesh, PartitionSpec("ax"))
+        else:
+            use = n if sp_n < 0 else sp_n
+            mesh = Mesh(np.asarray(devices[:use]), ("ax",))
+            data_sharding = NamedSharding(mesh, PartitionSpec(None, "ax"))
         variables = jax.device_put(
             variables, NamedSharding(mesh, PartitionSpec()))
 
