@@ -63,6 +63,16 @@ def test_exp_zoo_all_files_load():
     assert custom_s.num_classes == 71
     assert (custom_s.depth, custom_s.width) == (0.33, 0.50)
     assert custom_s.max_epoch == 300
+    # the 2-D-mesh exp: every multiscale bucket must pass the measured
+    # spatial-sharding validity guard (Trainer._check_spatial_sizes)
+    from types import SimpleNamespace
+
+    from cocodet_tpu.core.trainer import Trainer
+
+    sp_exp = get_exp(os.path.join(REPO, "exps", "p6",
+                                  "yolox_m_p6_spatial.py"))
+    assert sp_exp.spatial_devices == 2 and sp_exp.device_mosaic
+    Trainer._check_spatial_sizes(SimpleNamespace(exp=sp_exp), 2)
 
 
 def test_multiscale_buckets():
