@@ -44,3 +44,49 @@ def test_demo_image_mode(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     outs = sorted(os.listdir(out_dir))
     assert outs == ["im0.jpg", "im1.jpg"], outs
+
+
+@pytest.mark.slow
+def test_demo_video_mode(tmp_path):
+    """Video-mode smoke (ref tools/demo.py:22-313 video branch): a tiny
+    synthetic clip in, an annotated out.mp4 back."""
+    import cv2
+
+    clip = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                        (128, 96))
+    for i in range(4):
+        img = np.full((96, 128, 3), 120, np.uint8)
+        cv2.rectangle(img, (20 + 4 * i, 20), (70 + 4 * i, 70),
+                      (255, 255, 255), -1)
+        w.write(img)
+    w.release()
+
+    exp_file = tmp_path / "tiny_exp.py"
+    exp_file.write_text(
+        "from cocodet_tpu.exp import CustomP6Exp\n"
+        "class Exp(CustomP6Exp):\n"
+        "    def __init__(self):\n"
+        "        super().__init__()\n"
+        "        self.depth, self.width = 0.33, 0.125\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = tmp_path / "out"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["COCODET_FORCE_CPU"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "demo.py"), "video",
+         "-f", str(exp_file), "--path", clip, "--tsize", "64",
+         "--conf", "0.0001", "--save_result", "--output-dir", str(out_dir)],
+        capture_output=True, text=True, timeout=500, cwd=repo, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = os.path.join(out_dir, "out.mp4")
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 4, f"expected 4 annotated frames, got {n}"
