@@ -53,3 +53,43 @@ def test_export_onnx_roundtrip(tmp_path):
 
     assert onnx_out.shape == jax_out.shape
     np.testing.assert_allclose(onnx_out, jax_out, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference unavailable")
+def test_onnx_demo_tool(tmp_path):
+    """End-to-end ONNX demo (ref demo/ONNXRuntime/onnx_inference.py):
+    export a tiny artifact, run tools/onnx_demo.py on an image via the
+    numpy evaluator backend, get an annotated image back."""
+    import subprocess
+    import sys
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from export_onnx import export_onnx
+    from cocodet_tpu.models import build_model
+
+    depth, width, size = 0.33, 0.25, 64
+    model = build_model("yolox-p6", depth=depth, width=width)
+    variables = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, size, size, 3))))
+    onnx_path = str(tmp_path / "tiny.onnx")
+    export_onnx(variables, onnx_path, depth, width, size=size, batch=1)
+
+    img = np.full((96, 128, 3), 120, np.uint8)
+    cv2.rectangle(img, (20, 20), (70, 70), (255, 255, 255), -1)
+    img_path = str(tmp_path / "in.jpg")
+    cv2.imwrite(img_path, img)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "onnx_demo.py"),
+         "-m", onnx_path, "-i", img_path, "-o", out_dir,
+         "--input-shape", "64,64", "-s", "1e-4"],
+        capture_output=True, text=True, timeout=500, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "wrote" in proc.stdout
+    assert os.path.exists(os.path.join(out_dir, "in.jpg"))
