@@ -87,10 +87,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding_fn(mesh: Mesh):
-    """Per-array sharding chooser for mixed batches: 4-D arrays are NHWC
-    images (height-shardable on a 2-D mesh); labels/ids shard batch-only."""
+    """Per-array sharding chooser for mixed batches on a 2-D mesh.
+
+    Height-shard only leaves that actually look like NHWC images: rank 4,
+    a 1- or 3-wide channel axis last, and a height evenly divisible over
+    the space axis.  Everything else (labels, per-tile box tensors like
+    the device-mosaic dict's (B, 5, L, 4) boxes5, rng vectors) shards
+    batch-only — device_put rejects uneven shardings, and non-image rank-4
+    leaves are exactly the trap."""
+    n_space = dict(getattr(mesh, "shape", {})).get(SPACE_AXIS, 1)
+
     def choose(x) -> NamedSharding:
-        if np.ndim(x) == 4:
+        if (np.ndim(x) == 4 and n_space > 1
+                and np.shape(x)[-1] in (1, 3)
+                and np.shape(x)[1] % n_space == 0):
             return image_sharding(mesh)
         return data_sharding(mesh, np.ndim(x))
     return choose

@@ -251,3 +251,36 @@ def test_chunked_batch_matches_unchunked():
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_device_mosaic_spatial_mesh(tmp_path):
+    """The packaged 2-D-mesh operating point (exps/p6/yolox_m_p6_spatial):
+    device-mosaic raw-buffer batches + a (4 data, 2 space) mesh through a
+    real Trainer epoch.  Exercises the per-leaf sharding chooser on the
+    mixed-rank mosaic dict (5-D tiles shard batch-only, 4-D images
+    height-shard) at a spatial-guard-valid 256px size."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import make_fake_coco
+
+    from test_runtimes import Args, TinyExp
+
+    data_dir = make_fake_coco("/tmp/cocodet_devmosaic_sp_coco", n_images=8,
+                              size=192)
+    exp = TinyExp(data_dir)
+    exp.input_size = exp.test_size = (256, 256)
+    exp.device_mosaic = True
+    exp.mosaic_prob = 1.0
+    exp.enable_mixup = True
+    exp.spatial_devices = 2
+    exp.no_aug_epochs = -1
+    exp.output_dir = str(tmp_path)
+    from cocodet_tpu.core.trainer import Trainer
+
+    t = Trainer(exp, Args())
+    t.train()
+    assert t.mesh is not None and t.mesh.devices.shape == (4, 2)
+    assert np.isfinite(t.meter["loss"].latest)
