@@ -168,6 +168,13 @@ class Trainer:
         self.eval_sharding = None
         n_dev = jax.device_count()
         spatial = int(getattr(self.exp, "spatial_devices", 1) or 1)
+        if spatial > 1 and n_dev == 1:
+            # don't die (CPU smoke runs), but never silently drop the
+            # setting — the spatial exp exists to avoid a single-chip OOM
+            logger.warning(
+                "exp.spatial_devices=%d requested but only 1 device is "
+                "visible — training UNSHARDED (the operating point this "
+                "exp targets may OOM a single chip)", spatial)
         if n_dev > 1:
             import math as _math
 
@@ -234,6 +241,14 @@ class Trainer:
                     f"{2 * spatial * max_stride} so every feature map "
                     f"keeps >=2 evenly-divided rows per space device; "
                     f"see Trainer._check_spatial_sizes)")
+        # eval batches are space-sharded too (eval_sharding), but eval is
+        # forward-only — it needs only device_put divisibility, not the
+        # gradient boundary above
+        th = exp.test_size[0]
+        if th % spatial:
+            raise ValueError(
+                f"spatial_devices={spatial}: test_size height {th} must "
+                f"be divisible by the space axis for sharded eval")
 
     def _load_init_ckpt(self, path: str):
         ckpt = (self._init_tree if getattr(self, "_init_tree", None)
@@ -320,6 +335,18 @@ class Trainer:
 
             imgs, labels = apply_device_preproc(
                 self.exp, tuple(self.input_size), imgs)
+            # On a 2-D (data, space) mesh, the raw mosaic/aug dict leaves
+            # are batch-sharded only (rank-5 tiles etc.), so the jitted
+            # preproc programs emit batch-sharded images — reshard here or
+            # the train step replicates activations over the space axis
+            # and the mesh's memory scale-out silently never happens.
+            mesh = getattr(self, "mesh", None)
+            if mesh is not None and "space" in mesh.axis_names:
+                from ..parallel import data_sharding, image_sharding
+
+                imgs = jax.device_put(imgs, image_sharding(mesh))
+                labels = jax.device_put(
+                    labels, data_sharding(mesh, np.ndim(labels)))
         return imgs, labels, infos, ids
 
     def _log_progress(self, it: int, cur_size):

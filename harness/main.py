@@ -177,40 +177,55 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
         sp_n = -1 if isinstance(sp_cfg, bool) else int(sp_cfg)
     data_sharding = None
     if dp or sp_n:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from cocodet_tpu.parallel import (DATA_AXIS, SPACE_AXIS,
+                                          image_sharding, make_mesh,
+                                          make_mesh_2d)
 
         devices = jax.devices()
         n = len(devices)
         bsz = int(cfg["dataloader"]["batch_size"])
+        max_stride = max(strides)
+        if sp_n > 0:
+            # batch heights from FolderLoader are arbitrary multiples of
+            # max_stride (aspect buckets), so S must divide max_stride
+            # for every bucket's device_put to stay evenly sharded
+            if sp_n <= 1 or sp_n > n or n % sp_n or max_stride % sp_n:
+                raise ValueError(
+                    f"spatial_partition={sp_n}: need an integer in "
+                    f"(1, {n}] dividing both the device count {n} and "
+                    f"the max stride {max_stride} (aspect-bucket heights "
+                    f"are multiples of {max_stride})")
         if dp and sp_n:
             # 2-D serving mesh: batch over rows, image height over
             # columns — throughput AND per-image latency scale-out on
             # larger slices (forward-only; the training-side grad
             # boundary in Trainer._check_spatial_sizes does not apply)
-            if sp_n <= 1 or n % sp_n:
+            if sp_n < 0:
                 raise ValueError(
                     "combined data_parallel + spatial_partition needs "
-                    f"spatial_partition set to an integer >1 dividing "
-                    f"the device count {n}")
+                    "spatial_partition set to an integer >1 (a bare true "
+                    "does not define the 2-D split)")
             rows = n // sp_n
             if bsz % rows:
                 raise ValueError(
                     f"data_parallel: batch_size {bsz} must be a multiple "
                     f"of the {rows} data rows of the ({rows}, {sp_n}) mesh")
-            mesh = Mesh(np.asarray(devices).reshape(rows, sp_n),
-                        ("ax", "sp"))
-            data_sharding = NamedSharding(mesh, PartitionSpec("ax", "sp"))
+            mesh = make_mesh_2d(sp_n, devices)
+            data_sharding = image_sharding(mesh)
         elif dp:
             if bsz % n:
                 raise ValueError(
                     f"data_parallel: batch_size {bsz} must be a multiple "
                     f"of the device count {n}")
-            mesh = Mesh(np.asarray(devices), ("ax",))
-            data_sharding = NamedSharding(mesh, PartitionSpec("ax"))
+            mesh = make_mesh(devices)
+            data_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
         else:
             use = n if sp_n < 0 else sp_n
-            mesh = Mesh(np.asarray(devices[:use]), ("ax",))
-            data_sharding = NamedSharding(mesh, PartitionSpec(None, "ax"))
+            mesh = make_mesh(devices[:use], axis_name=SPACE_AXIS)
+            data_sharding = NamedSharding(
+                mesh, PartitionSpec(None, SPACE_AXIS))
         variables = jax.device_put(
             variables, NamedSharding(mesh, PartitionSpec()))
 
