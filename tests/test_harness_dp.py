@@ -127,3 +127,32 @@ def test_combined_dp_sp_matches_single(tmp_path):
     bad = _cfg(os.path.join(root, "val2017"), dp=True, sp=True)
     with pytest.raises(ValueError, match="integer"):
         hmain.run(bad, str(tmp_path / "x.json"))
+
+
+def test_spatial_partition_int_subset(tmp_path):
+    """spatial_partition as an integer (without data_parallel) shards
+    image height over only S of the visible devices; S must divide the
+    max stride (aspect-bucket heights are stride multiples)."""
+    from synthetic import make_fake_coco
+
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=4, size=96)
+    hmain = importlib.import_module("main")
+
+    out1 = str(tmp_path / "dets_single.json")
+    out2 = str(tmp_path / "dets_sp2.json")
+    hmain.run(_cfg(os.path.join(root, "val2017"), dp=False), out1)
+    hmain.run(_cfg(os.path.join(root, "val2017"), dp=False, sp=2), out2)
+
+    with open(out1) as f:
+        a = json.load(f)
+    with open(out2) as f:
+        b = json.load(f)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra["image_id"] == rb["image_id"]
+        np.testing.assert_allclose(ra["bbox"], rb["bbox"], atol=1e-2)
+
+    # S=3 divides neither the device count (8) nor the stride (64)
+    bad = _cfg(os.path.join(root, "val2017"), dp=False, sp=3)
+    with pytest.raises(ValueError, match="spatial_partition=3"):
+        hmain.run(bad, str(tmp_path / "x.json"))
