@@ -310,6 +310,36 @@ def mixup_batch(images_a, labels_a, images_b, labels_b):
     return imgs, both[:, : labels_a.shape[1]]
 
 
+def mosaic_preproc_batch(batch, out_size: Tuple[int, int],
+                         max_labels: int = 120, flip_prob: float = 0.5,
+                         hsv_prob: float = 1.0):
+    """Device-mosaic raw-buffer dict -> (imgs, labels): the mosaic+affine+
+    mixup program feeding the TrainTransform program.  This IS the
+    production composition — parity tests must call it too, or they drift
+    from what the Trainer runs."""
+    from .device_mosaic import mosaic_mixup_batch
+
+    img_b, hw_b, boxes_b, cls_b, nv_b = mosaic_mixup_batch(
+        batch["mosaic_tiles"], batch["hw5"], batch["nhw5"],
+        batch["boxes5"], batch["classes5"], batch["nvalid5"],
+        batch["mrand"], out_size=tuple(out_size))
+    # final letterbox extents for train_aug_batch: mosaic items are
+    # already exactly out_size (r=1), but PASSTHROUGH items (mosaic
+    # gate failed, mrand[0] == 0) letterbox the raw tile-0 image —
+    # their host-f64 extents are nhw5[:, 0] (tile 0 uses the same
+    # min(ih/h, iw/w) ratio); the device f32 floor diverges for ~6%
+    # of sizes, breaking host parity without this
+    ih, iw = tuple(out_size)
+    nhw_final = jnp.where(
+        batch["mrand"][:, :1] > 0,
+        jnp.asarray([ih, iw], jnp.int32)[None, :],
+        batch["nhw5"][:, 0])
+    return train_aug_batch(
+        img_b, hw_b, boxes_b, cls_b, nv_b, batch["randoms"],
+        nhw=nhw_final, out_size=tuple(out_size), max_labels=max_labels,
+        flip_prob=flip_prob, hsv_prob=hsv_prob)
+
+
 def apply_device_preproc(exp, input_size: Tuple[int, int], batch):
     """Run the on-device preprocessing program(s) on a raw-buffer batch
     dict produced by make_device_collate / make_mosaic_collate.
@@ -320,18 +350,8 @@ def apply_device_preproc(exp, input_size: Tuple[int, int], batch):
     the previous train step.
     """
     if "mosaic_tiles" in batch:
-        # device-mosaic path: mosaic+affine+mixup program feeds the
-        # TrainTransform program (data/device_mosaic.py)
-        from .device_mosaic import mosaic_mixup_batch
-
-        img_b, hw_b, boxes_b, cls_b, nv_b = mosaic_mixup_batch(
-            batch["mosaic_tiles"], batch["hw5"], batch["nhw5"],
-            batch["boxes5"], batch["classes5"], batch["nvalid5"],
-            batch["mrand"], out_size=tuple(input_size))
-        return train_aug_batch(
-            img_b, hw_b, boxes_b, cls_b, nv_b, batch["randoms"],
-            out_size=tuple(input_size),
-            max_labels=exp.max_labels_mosaic,
+        return mosaic_preproc_batch(
+            batch, tuple(input_size), max_labels=exp.max_labels_mosaic,
             flip_prob=exp.flip_prob, hsv_prob=exp.hsv_prob)
     return train_aug_batch(
         **batch, out_size=tuple(input_size),

@@ -286,7 +286,7 @@ def affine_boxes(boxes_xyxy, m, out_size: Tuple[int, int]):
 
 def _mixup_partner(tile, hw, out_size: Tuple[int, int], grid_hw,
                    origin_hw, jit_scale, flip, x_off, y_off,
-                   jit_tw2, jit_th2):
+                   jit_tw2, jit_th2, nhw=None):
     """Partner image pipeline: letterbox into (ih, iw) -> cv2.resize the
     PADDED buffer by ``jit_scale`` -> optional horizontal flip -> pad/crop
     at (x_off, y_off) to the ORIGIN image's (oh, ow) (mosaic.py:190-196 —
@@ -297,7 +297,9 @@ def _mixup_partner(tile, hw, out_size: Tuple[int, int], grid_hw,
 
     ih, iw = out_size
     gh, gw = grid_hw
-    cp_img, s = letterbox_resize_one(tile, hw, (ih, iw))
+    # nhw: host-f64 resized extents (fetch's nhw[4]) — the device f32
+    # floor diverges for ~6% of sizes (letterbox_resize_one docstring)
+    cp_img, s = letterbox_resize_one(tile, hw, (ih, iw), nhw=nhw)
     cp_img = jnp.round(cp_img)                       # host buffer is uint8
 
     tw2, th2 = jit_tw2.astype(jnp.int32), jit_th2.astype(jnp.int32)
@@ -415,7 +417,7 @@ def _mosaic_one(tiles, hw, nhw, boxes, classes, nvalid, mrand,
     cp, s5, tw2 = _mixup_partner(tiles[4].astype(jnp.float32), hw[4],
                                  (ih, iw), (sh, sw), hw_mid, mrand[10],
                                  mrand[11], mrand[12], mrand[13],
-                                 mrand[14], mrand[15])
+                                 mrand[14], mrand[15], nhw=nhw[4])
     mixed = jnp.floor(0.5 * mid + 0.5 * cp)        # host .astype(uint8)
     img = jnp.where(use_mixup, mixed, mid)
     pb, pkeep = _mixup_boxes(boxes[4], s5, mrand[10], mrand[11], tw2,
@@ -558,9 +560,12 @@ class DeviceMosaicDataset:
         hws.append(partner.shape[:2])
         targets.append(p_labels)
 
-        # resized tile sizes int(h*s) in host f64 (see compose_canvas)
+        # resized tile sizes int(h*s) in host f64 (see compose_canvas);
+        # row 4 is the mixup partner's FIRST letterbox extents — the
+        # device-side f32 floor diverges from the host's f64 int for ~6%
+        # of (h, w) pairs (letterbox_resize_one docstring)
         nhw = np.zeros((5, 2), np.int32)
-        for t in range(4):
+        for t in range(5):
             h0, w0 = hws[t]
             s = min(ih / h0, iw / w0)
             nhw[t] = (int(h0 * s), int(w0 * s))

@@ -71,9 +71,13 @@ class Exp(BaseExp):
         # move HSV + flip + letterbox + label padding onto the TPU as one
         # jitted batched program (data/device_aug.py); the host keeps only
         # decode + mosaic/affine composition.  Raw frames ship as uint8
-        # static buffers of src_scale * input_size.
+        # static buffers of src_scale * input_size.  Every image entering
+        # the collate is already <= input_size (datasets pre-resize at
+        # pull_item; mosaic/mixup outputs are exactly input_size), so 1.0
+        # is the tight default — larger values only pad the H2D transfer
+        # (the collate warns loudly if an oversize frame ever appears).
         self.device_aug = False
-        self.device_aug_src_scale = 2.0
+        self.device_aug_src_scale = 1.0
         self.device_aug_max_boxes = 120
         # device_mosaic: ALSO move mosaic compose + random affine + mixup
         # onto the accelerator (data/device_mosaic.py) — the host keeps
@@ -203,7 +207,7 @@ class Exp(BaseExp):
                 from ..data.device_aug import (DeviceAugDataset,
                                                make_device_collate)
 
-                scale = getattr(self, "device_aug_src_scale", 2.0)
+                scale = getattr(self, "device_aug_src_scale", 1.0)
                 src_size = (int(self.input_size[0] * scale),
                             int(self.input_size[1] * scale))
                 wrapped = DeviceAugDataset(mosaic, hsv_prob=self.hsv_prob)

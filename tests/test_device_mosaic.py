@@ -138,6 +138,16 @@ def _run_both_paths(seed, ds_rs_seed=5, n_items=3, input_dim=(64, 64),
                     enable_mixup=True, max_labels=30):
     rs = np.random.RandomState(ds_rs_seed)
     dataset = FakeDataset(rs, n=10, img_size=input_dim)
+    return _run_both_paths_with(dataset, seed, n_items=n_items,
+                                input_dim=input_dim, degrees=degrees,
+                                shear=shear, mosaic_prob=mosaic_prob,
+                                enable_mixup=enable_mixup,
+                                max_labels=max_labels)
+
+
+def _run_both_paths_with(dataset, seed, n_items=3, input_dim=(64, 64),
+                         degrees=10.0, shear=2.0, mosaic_prob=1.0,
+                         enable_mixup=True, max_labels=30):
     kw = dict(degrees=degrees, translate=0.1, mosaic_scale=(0.8, 1.2),
               mixup_scale=(0.7, 1.3), shear=shear,
               enable_mixup=enable_mixup, mosaic_prob=mosaic_prob,
@@ -157,13 +167,12 @@ def _run_both_paths(seed, ds_rs_seed=5, n_items=3, input_dim=(64, 64),
         dev_items.append(dev_ds.fetch(i, rng=random.Random(seed + i)))
 
     batch, _, _, _ = collate(dev_items)
-    img_b, hw_b, boxes_b, cls_b, nv_b = mosaic_mixup_batch(
-        batch["mosaic_tiles"], batch["hw5"], batch["nhw5"],
-        batch["boxes5"], batch["classes5"], batch["nvalid5"],
-        batch["mrand"], out_size=input_dim)
-    d_imgs, d_labs = train_aug_batch(
-        img_b, hw_b, boxes_b, cls_b, nv_b, batch["randoms"],
-        out_size=input_dim, max_labels=max_labels, flip_prob=0.5,
+    # the PRODUCTION composition (apply_device_preproc's mosaic branch) —
+    # including the host-f64 nhw_final extents for passthrough items
+    from cocodet_tpu.data.device_aug import mosaic_preproc_batch
+
+    d_imgs, d_labs = mosaic_preproc_batch(
+        batch, input_dim, max_labels=max_labels, flip_prob=0.5,
         hsv_prob=1.0)
     return host_out, np.asarray(d_imgs), np.asarray(d_labs)
 
@@ -202,6 +211,30 @@ def test_no_mixup_path():
     for i, (h_img, h_lab) in enumerate(host):
         np.testing.assert_allclose(d_labs[i], h_lab, atol=0.05)
         assert np.abs(d_imgs[i] - h_img).mean() < 2.5
+
+
+def test_passthrough_parity_at_f32_divergent_sizes():
+    """Regression: raw sizes where floor(f32(h*r)) != int(f64(h*r)) —
+    ~6% of (h, w) pairs.  Passthrough items (mosaic gate failed) and the
+    mixup partner's first letterbox must use HOST-f64 extents (fetch's
+    nhw rows + apply_device_preproc's nhw_final), or the resized region
+    is one pixel off vs TrainTransform and labels shift."""
+    rs = np.random.RandomState(7)
+    dataset = FakeDataset(rs, n=10, img_size=(64, 64))
+    # force every item to a known-divergent size: (33, 47) -> f64 extents
+    # (44, 64) but f32 floor gives (44, 63)
+    for i in range(len(dataset)):
+        h, w = 33, 47
+        dataset._imgs[i] = _rand_img(rs, h, w)
+        tg = _boxes(rs, 3, h, w)
+        dataset.annotations[i] = (tg, (h, w), (h, w), f"{i}.jpg")
+
+    host, d_imgs, d_labs = _run_both_paths_with(dataset, seed=51,
+                                                mosaic_prob=0.0)
+    for i, (h_img, h_lab) in enumerate(host):
+        np.testing.assert_allclose(d_labs[i], h_lab, atol=0.05,
+                                   err_msg=f"item {i}")
+        assert np.abs(d_imgs[i] - h_img).mean() < 2.5, i
 
 
 def test_trainer_device_mosaic_epoch(tmp_path):
