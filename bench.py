@@ -130,7 +130,8 @@ def _build_slim():
     return model, slimmed
 
 
-def _quantize_slim(slim_model, slim_vars):
+def _quantize_slim(slim_model, slim_vars, per_channel_act=False,
+                   split_cat=False):
     """w8a8 PTQ over the slim model: per-out-channel int8 weights +
     calibrated per-tensor activation scales (compress/quantize.py).
     Shared by main() and tools/bench_int8.py so the A/B tool cannot drift
@@ -149,10 +150,12 @@ def _quantize_slim(slim_model, slim_vars):
                               dtype=jnp.bfloat16, quant="calib")
     calib_imgs = jnp.asarray(
         np.random.RandomState(1).rand(2, 256, 256, 3) * 255, jnp.float32)
-    qvars = quantize_model(calib_model, slim_vars, [calib_imgs])
+    qvars = quantize_model(calib_model, slim_vars, [calib_imgs],
+                           per_channel_act=per_channel_act)
     q_model = build_model("yolox-p6", depth=0.67, width=0.75,
                           fused=True, slim=spec,
-                          dtype=jnp.bfloat16, quant="w8a8")
+                          dtype=jnp.bfloat16, quant="w8a8",
+                          split_cat=split_cat)
     return q_model, qvars
 
 

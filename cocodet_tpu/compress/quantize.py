@@ -52,9 +52,17 @@ def calibrate(model, variables: Dict, batches: Iterable) -> Dict:
     return jax.device_get(stats)
 
 
-def build_quant_tree(stats: Dict) -> Dict:
-    """quant_stats (sown absmax tuples) -> ``quant`` collection with
-    per-conv ``act_scale`` leaves."""
+def build_quant_tree(stats: Dict, per_channel_act: bool = False) -> Dict:
+    """quant_stats (sown per-input-channel absmax vectors) -> ``quant``
+    collection with per-conv ``act_scale`` leaves.
+
+    per_channel_act=False (default, the round-3 recipe): one scalar scale
+    per conv — max over the channel vector, identical to the old
+    whole-tensor absmax.  per_channel_act=True: keep the (cin,) vector so
+    narrow-range channels don't lose resolution to one hot channel;
+    ``quantize_weights`` folds the vector into the kernel so the conv
+    still runs as a single s8 x s8 -> s32 op with a per-cout rescale.
+    """
     flat = flatten_dict(stats)
     out = {}
     for path, val in flat.items():
@@ -62,9 +70,23 @@ def build_quant_tree(stats: Dict) -> Dict:
         # "act_absmax")
         if path[-1] != "act_absmax":
             continue
-        absmax = float(np.max(np.asarray(jax.device_get(val))))
+        # sow with reduce_fn stores the reduced (cin,) vector directly
+        absmax = np.asarray(jax.device_get(val), np.float32)
+        if absmax.ndim > 1:  # defensively collapse any stacked leading axis
+            absmax = absmax.max(axis=tuple(range(absmax.ndim - 1)))
         scope = path[:-1]
-        out[scope + ("act_scale",)] = jnp.float32(max(absmax, 1e-8) / 127.0)
+        # The Focus stem stays per-tensor even in per-channel mode: its
+        # input is the raw image (uniform range, nothing to gain) and a
+        # vector scale there would break the exact stem6 rewrite
+        # (ops/fuse.py fold_focus_stem re-homes the scale onto the
+        # 3-channel image input, where a 4c vector cannot follow).
+        is_focus_stem = scope[:3] == ("backbone", "backbone", "stem")
+        if per_channel_act and absmax.ndim and not is_focus_stem:
+            out[scope + ("act_scale",)] = jnp.asarray(
+                np.maximum(absmax, 1e-8) / 127.0, jnp.float32)
+        else:
+            out[scope + ("act_scale",)] = jnp.float32(
+                max(float(np.max(absmax)), 1e-8) / 127.0)
     return unflatten_dict(out)
 
 
@@ -81,6 +103,17 @@ def quantize_weights(variables: Dict, quant_tree: Dict
         scope = path[:-1]  # ends with (..., "conv")
         kpath = scope + ("kernel",)
         kernel = np.asarray(params[kpath], np.float32)
+        a_scale = np.asarray(qflat[path], np.float32)
+        if a_scale.ndim and kernel.shape[2] != a_scale.shape[0]:
+            # grouped/depthwise conv: kernel's cin axis is cin/groups, so a
+            # per-channel fold doesn't factor — collapse to per-tensor.
+            a_scale = a_scale.max()
+            qflat[path] = jnp.float32(a_scale)
+        if a_scale.ndim:
+            # Fold the per-channel activation scale into the kernel BEFORE
+            # per-cout quantization: conv(x/s_c, W*s_c) == conv(x, W), so
+            # the runtime rescale stays per-out-channel (blocks.py w8a8).
+            kernel = kernel * a_scale[None, None, :, None]
         absmax = np.abs(kernel).max(axis=(0, 1, 2))  # per out channel
         w_scale = np.maximum(absmax, 1e-8) / 127.0
         q = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
@@ -92,13 +125,16 @@ def quantize_weights(variables: Dict, quant_tree: Dict
 
 
 def quantize_model(calib_model, variables: Dict,
-                   calib_batches: Iterable) -> Dict:
+                   calib_batches: Iterable,
+                   per_channel_act: bool = False) -> Dict:
     """One-call PTQ: calibrate on ``calib_model`` (built with
     quant="calib"), quantize weights, and return the full variable tree
     (params with int8 kernels + the "quant" collection) ready for a model
-    built with quant="w8a8"."""
+    built with quant="w8a8").  ``per_channel_act=True`` uses per-input-
+    channel activation scales (folded into the kernel — same runtime graph
+    shape, finer quantization grid)."""
     stats = calibrate(calib_model, variables, calib_batches)
-    qtree = build_quant_tree(stats)
+    qtree = build_quant_tree(stats, per_channel_act=per_channel_act)
     qvars, quant = quantize_weights(variables, qtree)
     qvars["quant"] = quant
     return qvars

@@ -189,7 +189,26 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        # Split-concat mode (models/pafpn.py split_cat): ``x`` may be a
+        # sequence of (array, up2x) parts standing for the channel concat
+        # cat([up2x(p) if up2x else p, ...]) WITHOUT materializing it —
+        # conv(cat(a, b)) == conv_a(a) + conv_b(b) over kernel slices, and
+        # for 1x1/stride-1 convs conv(up2x(a)) == up2x(conv(a)) (nearest
+        # upsample commutes pointwise), so upsampled parts convolve at
+        # quarter resolution.  The kernel param keeps its full concat-width
+        # shape: checkpoints are interchangeable with the plain graph.
+        parts = None
+        if isinstance(x, (tuple, list)):
+            parts = [p if isinstance(p, tuple) else (p, False) for p in x]
+            assert self.groups == 1, "split-concat conv: groups must be 1"
+            assert not any(up for _, up in parts) or (
+                self.kernel_size == 1 and self.stride == 1
+                and self.dilation == 1), \
+                "up2x parts need a 1x1 stride-1 conv (pointwise commute)"
+            cin = sum(p.shape[-1] for p, _ in parts)
+            x = parts[0][0]  # dtype/shape reference
+        else:
+            cin = x.shape[-1]
         kshape = (self.kernel_size, self.kernel_size, cin // self.groups, self.features)
         kernel = self.param("kernel", self.kernel_init, kshape)
         if self.weight_mask:
@@ -209,8 +228,16 @@ class Conv2d(nn.Module):
             feature_group_count=self.groups,
         )
         if self.quant == "calib":
-            self.sow("quant_stats", "act_absmax",
-                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+            # Per-input-channel absmax vector: per-tensor callers reduce it
+            # with max() downstream (identical scale to the old scalar sow),
+            # per-channel callers (compress/quantize.py per_channel_act)
+            # keep the vector.  Parts concat in channel order, matching the
+            # kernel's cin axis.
+            absmax = (jnp.concatenate(
+                [jnp.max(jnp.abs(p.astype(jnp.float32)), axis=(0, 1, 2))
+                 for p, _ in parts]) if parts is not None else
+                jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2)))
+            self.sow("quant_stats", "act_absmax", absmax,
                      init_fn=lambda: jnp.zeros((), jnp.float32),
                      reduce_fn=jnp.maximum)
         if self.quant == "w8a8" and kernel.dtype == jnp.int8:
@@ -220,13 +247,37 @@ class Conv2d(nn.Module):
             a_scale = self.variable(
                 "quant", "act_scale",
                 lambda: jnp.ones((), jnp.float32)).value
-            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
-                          -127, 127).astype(jnp.int8)
-            y = jax.lax.conv_general_dilated(
-                xq, kernel, preferred_element_type=jnp.int32, **conv_kw)
-            y = (y.astype(jnp.float32)
-                 * (a_scale * w_scale)).astype(dtype)
+            # a_scale is a scalar (per-tensor) or a (cin,) vector (per-
+            # channel, compress/quantize.py): the vector broadcasts over
+            # NHWC's last axis, and its contribution was already FOLDED into
+            # the int8 kernel at quantization time, so the output rescale is
+            # per-out-channel either way.
+            if parts is not None:
+                # s8 partial sums in int32 are exact: bit-identical to the
+                # materialized-concat graph for any part split.
+                y, off = None, 0
+                for p, up in parts:
+                    c = p.shape[-1]
+                    a_sl = (a_scale if a_scale.ndim == 0
+                            else a_scale[off:off + c])
+                    pq = jnp.clip(
+                        jnp.round(p.astype(jnp.float32) / a_sl),
+                        -127, 127).astype(jnp.int8)
+                    yp = jax.lax.conv_general_dilated(
+                        pq, kernel[:, :, off:off + c, :],
+                        preferred_element_type=jnp.int32, **conv_kw)
+                    yp = upsample2x(yp) if up else yp
+                    y = yp if y is None else y + yp
+                    off += c
+            else:
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                              -127, 127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    xq, kernel, preferred_element_type=jnp.int32, **conv_kw)
+            out_scale = w_scale if a_scale.ndim else a_scale * w_scale
+            y = (y.astype(jnp.float32) * out_scale).astype(dtype)
         elif self.quant == "qat":
+            assert parts is None, "split-concat is a deployment-graph mode"
             # QAT simulation of the w8a8 deployment numerics: the weight
             # scale is dynamic (tracks the fine-tuned kernel exactly as the
             # post-QAT requantization will snapshot it), the activation
@@ -246,8 +297,22 @@ class Conv2d(nn.Module):
                 raise ValueError(
                     "int8 kernel requires quant='w8a8' (build the model "
                     "via build_model(..., quant='w8a8'))")
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype), kernel.astype(dtype), **conv_kw)
+            if parts is not None:
+                # float partial sums: one extra output-dtype rounding vs the
+                # materialized concat (not bit-exact in bf16, exact in f32
+                # up to accumulation-order noise)
+                y, off = None, 0
+                for p, up in parts:
+                    c = p.shape[-1]
+                    yp = jax.lax.conv_general_dilated(
+                        p.astype(dtype),
+                        kernel[:, :, off:off + c, :].astype(dtype), **conv_kw)
+                    yp = upsample2x(yp) if up else yp
+                    y = yp if y is None else y + yp
+                    off += c
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(dtype), kernel.astype(dtype), **conv_kw)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(dtype)
@@ -285,7 +350,12 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cin = x.shape[-1]
+        # split-concat parts input (Conv2d docstring): cin = sum of parts
+        if isinstance(x, (tuple, list)):
+            cin = sum((p[0] if isinstance(p, tuple) else p).shape[-1]
+                      for p in x)
+        else:
+            cin = x.shape[-1]
         depthwise = self.groups == cin and self.groups > 1
         kinit = dw_kernel_init if depthwise else conv_kernel_init
 
@@ -540,12 +610,23 @@ class CSPLayer(nn.Module):
     # whose bypass width is input-derived (cin - hidden): a slimmed producer
     # shrinks cin, but the checkpoint's conv2 keeps the original width.
     slim: Optional[Any] = None
+    # deployment-graph split-concat mode (Conv2d parts): conv3 consumes
+    # (x1, x2) without materializing the concat; the entry concat split is
+    # caller-driven (pass a parts sequence as ``x``)
+    split_cat: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cin = x.shape[-1]
+        # split-concat entry (models/pafpn.py split_cat): x may be a parts
+        # sequence standing for the un-materialized channel concat — conv1
+        # and conv2 are both 1x1, so Conv2d consumes the parts directly.
+        if isinstance(x, (tuple, list)):
+            cin = sum((p[0] if isinstance(p, tuple) else p).shape[-1]
+                      for p in x)
+        else:
+            cin = x.shape[-1]
         # "res": residual-group slim width (compress.merge slim_channels) —
         # the stream through conv1 and every residual bottleneck narrows
         # together, so one pin drives conv1 out + bottleneck widths
@@ -589,8 +670,14 @@ class CSPLayer(nn.Module):
                 name=f"m{i}",
             )(x1, train)
 
-        x = jnp.concatenate([x1, x2], axis=-1)
-        x = ConvBnAct(self.features, 1, 1, name="conv3", **kw)(x, train)
+        if self.split_cat:
+            # conv3 is 1x1: consume (x1, x2) as split-concat parts, skipping
+            # the concat materialization (Conv2d parts mode)
+            x = ConvBnAct(self.features, 1, 1, name="conv3",
+                          **kw)([x1, x2], train)
+        else:
+            x = jnp.concatenate([x1, x2], axis=-1)
+            x = ConvBnAct(self.features, 1, 1, name="conv3", **kw)(x, train)
         return x
 
 

@@ -78,6 +78,12 @@ class YOLOPAFPN(nn.Module):
     remat: bool = False
     slim: Optional[Dict[str, Any]] = None  # backbone stage slim map
     stem6: bool = False  # deployment Focus->6x6s2 rewrite (darknet.py)
+    # deployment-graph rewrite (blocks.Conv2d parts mode): FPN merge concats
+    # feed only 1x1 CSP entry convs, so conv(cat(a,b)) = conv_a(a)+conv_b(b)
+    # over kernel slices and the top-down branch's 1x1 commutes with the
+    # nearest upsample (computed at quarter resolution).  Same checkpoint,
+    # no concat materializations; exact in int8 (int32 partial sums).
+    split_cat: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -102,6 +108,7 @@ class YOLOPAFPN(nn.Module):
             # exactly as prunable/slim-able as the backbone's
             use_mask=self.use_mask,
             weight_mask=self.weight_mask,
+            split_cat=self.split_cat,
             **kw,
         )
 
@@ -139,7 +146,9 @@ class YOLOPAFPN(nn.Module):
                             use_mask=self.use_mask,
                             name=f"lateral{k}", **kw)(carry, train)
             lats[k] = lat
-            merged = jnp.concatenate([upsample2x(lat), xs[k - 1]], axis=-1)
+            merged = ([(lat, True), (xs[k - 1], False)] if self.split_cat
+                      else jnp.concatenate([upsample2x(lat), xs[k - 1]],
+                                           axis=-1))
             carry = csp_cls(widths[k - 1], name=f"td_csp{k}",
                             slim=_csp_slim(f"td_csp{k}"), **csp_kw)(merged, train)
             td[k - 1] = carry
@@ -150,7 +159,8 @@ class YOLOPAFPN(nn.Module):
             p = ConvBnAct(_w(f"bu_conv{k}", widths[k - 1]),
                           cfg["down_kernel"], 2, use_mask=self.use_mask,
                           name=f"bu_conv{k}", **kw)(outs[-1], train)
-            merged = jnp.concatenate([p, lats[k]], axis=-1)
+            merged = ([p, lats[k]] if self.split_cat
+                      else jnp.concatenate([p, lats[k]], axis=-1))
             outs.append(csp_cls(widths[k], name=f"bu_csp{k}",
                                 slim=_csp_slim(f"bu_csp{k}"),
                                 **csp_kw)(merged, train))

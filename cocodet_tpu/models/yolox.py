@@ -72,6 +72,7 @@ class YOLOX(nn.Module):
     remat: bool = False
     slim: Optional[Any] = None  # backbone channel-slim map (compress.merge)
     stem6: bool = False  # deployment Focus->6x6s2 rewrite (ops/fuse.py)
+    split_cat: bool = False  # deployment split-concat FPN graph (pafpn.py)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -101,6 +102,7 @@ class YOLOX(nn.Module):
             remat=self.remat,
             slim=self.slim,
             stem6=self.stem6,
+            split_cat=self.split_cat,
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="backbone",

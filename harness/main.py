@@ -74,6 +74,9 @@ def build_model_and_vars(cfg, rng_seed: int = 0):
         slim=slim,
         quant=quant,
         stem6=stem6,
+        # split-concat FPN deployment graph (models/pafpn.py split_cat):
+        # same checkpoint, no concat materializations; exact in int8
+        split_cat=bool(cfg.get("split_cat", False)),
         dtype=jnp.bfloat16 if cfg.get("half", True) else jnp.float32,
     )
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -56,6 +56,98 @@ def test_w8a8_forward_close(fused_setup):
     assert np.percentile(err, 99) / scale < 0.05
 
 
+def test_w8a8_per_channel_act(fused_setup):
+    """Per-input-channel activation scales (quantize_model per_channel_act):
+    same runtime graph (vector scale folded into the int8 kernel), accuracy
+    at least as good as per-tensor on the raw maps, stem stays scalar."""
+    variables, imgs = fused_setup
+    fused = build_model("yolox-p6", depth=D, width=W, fused=True)
+    calib = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        quant="calib")
+    q = build_model("yolox-p6", depth=D, width=W, fused=True, quant="w8a8")
+
+    qv_t = quantize_model(calib, variables, [imgs])
+    qv_c = quantize_model(calib, variables, [imgs], per_channel_act=True)
+
+    from flax.traverse_util import flatten_dict
+
+    scales = {p: v for p, v in flatten_dict(qv_c["quant"]).items()
+              if p[-1] == "act_scale"}
+    assert any(v.ndim == 1 for v in scales.values()), \
+        "per-channel mode produced no vector scales"
+    # the Focus stem must stay per-tensor (stem6 fold exactness)
+    stem = [v for p, v in scales.items()
+            if p[:3] == ("backbone", "backbone", "stem")]
+    assert stem and all(v.ndim == 0 for v in stem)
+
+    ref = _flat_outputs(fused, variables, imgs)
+    err_t = np.abs(_flat_outputs(q, qv_t, imgs) - ref)
+    err_c = np.abs(_flat_outputs(q, qv_c, imgs) - ref)
+    scale = np.abs(ref).max()
+    assert err_c.max() / scale < 0.15
+    # finer grid: aggregate error should not regress vs per-tensor
+    assert np.mean(err_c) <= np.mean(err_t) * 1.05, \
+        (np.mean(err_c), np.mean(err_t))
+
+
+def test_per_channel_fold_math():
+    """The kernel fold is exact: conv(round(x/s_c), q) * w_scale equals the
+    hand-computed per-channel-dequantized conv."""
+    import jax.lax as lax
+
+    from cocodet_tpu.compress.quantize import quantize_weights
+
+    rs = np.random.RandomState(3)
+    kernel = rs.randn(3, 3, 8, 16).astype(np.float32)
+    x = (rs.rand(2, 10, 10, 8).astype(np.float32) * 20 - 10) \
+        * rs.rand(8).astype(np.float32)  # distinct per-channel ranges
+    a_scale = np.maximum(np.abs(x).max(axis=(0, 1, 2)), 1e-8) / 127.0
+
+    variables = {"params": {"c": {"kernel": jnp.asarray(kernel)}}}
+    qtree = {"c": {"act_scale": jnp.asarray(a_scale)}}
+    qvars, quant = quantize_weights(variables, qtree)
+    qk = np.asarray(qvars["params"]["c"]["kernel"])
+    w_scale = np.asarray(quant["c"]["w_scale"])
+    assert qk.dtype == np.int8
+
+    xq = np.clip(np.round(x / a_scale), -127, 127).astype(np.int8)
+    got = np.asarray(lax.conv_general_dilated(
+        jnp.asarray(xq), jnp.asarray(qk),
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)).astype(np.float32) * w_scale
+
+    # reference: dequantize explicitly (scaled kernel / w_scale rounding)
+    k_deq = np.round(kernel * a_scale[None, None, :, None]
+                     / w_scale).clip(-127, 127) * w_scale
+    x_deq = xq.astype(np.float32)
+    want = np.asarray(lax.conv_general_dilated(
+        jnp.asarray(x_deq), jnp.asarray(k_deq),
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_per_channel_grouped_falls_back():
+    """Grouped/depthwise conv (kernel cin axis != len(act_scale)) collapses
+    to a per-tensor scale instead of mis-folding."""
+    from cocodet_tpu.compress.quantize import quantize_weights
+
+    rs = np.random.RandomState(0)
+    kernel = rs.randn(3, 3, 1, 8).astype(np.float32)  # depthwise, groups=8
+    a_vec = (rs.rand(8).astype(np.float32) + 0.1) / 127.0
+    variables = {"params": {"dw": {"kernel": jnp.asarray(kernel)}}}
+    qvars, quant = quantize_weights(variables,
+                                    {"dw": {"act_scale": jnp.asarray(a_vec)}})
+    a_out = np.asarray(quant["dw"]["act_scale"])
+    assert a_out.ndim == 0 and np.isclose(a_out, a_vec.max())
+    qk = np.asarray(qvars["params"]["dw"]["kernel"])
+    # per-tensor fallback: plain per-cout quantization of the raw kernel
+    w_scale = np.asarray(quant["dw"]["w_scale"])
+    np.testing.assert_array_equal(
+        qk, np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8))
+
+
 def test_w8a8_requires_quant_model(fused_setup):
     variables, imgs = fused_setup
     calib = build_model("yolox-p6", depth=D, width=W, fused=True,

@@ -44,6 +44,10 @@ def main():
                     help="serve the Focus stem as the equivalent 6x6 s2 "
                          "conv (ops/fuse.py fold_focus_stem) — A/B the "
                          "space-to-depth HBM re-gather against one conv")
+    ap.add_argument("--split-cat", action="store_true",
+                    help="split-concat FPN deployment graph (pafpn.py "
+                         "split_cat): no concat materializations, top-down "
+                         "1x1s at quarter resolution; same checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +83,11 @@ def main():
                             dtype=jnp.bfloat16, fused=True,
                             slim=getattr(model, "slim", None),
                             stem6=True)
+    if args.split_cat:
+        model = build_model("yolox-p6", depth=0.67, width=0.75,
+                            dtype=jnp.bfloat16, fused=True,
+                            slim=getattr(model, "slim", None),
+                            stem6=args.stem6, split_cat=True)
 
     for b in args.batches:
         x = jnp.asarray(np.random.rand(b, args.size, args.size, 3) * 255,

@@ -34,6 +34,13 @@ def main():
     ap.add_argument("-b", "--batch", type=int, default=BATCH)
     ap.add_argument("--size", type=int, default=SIZE)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--act-scales", choices=["tensor", "channel"],
+                    default="tensor",
+                    help="w8a8 activation-scale granularity "
+                         "(compress/quantize.py per_channel_act)")
+    ap.add_argument("--split-cat", action="store_true",
+                    help="split-concat FPN deployment graph (exact in int8; "
+                         "models/pafpn.py split_cat)")
     args = ap.parse_args()
     batch, size = args.batch, args.size
 
@@ -56,10 +63,19 @@ def main():
         slim_model, slim_vars = bench._build_slim()
         slim_vars = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.float32), dict(slim_vars))
+        if args.split_cat:
+            from cocodet_tpu.models import build_model
+
+            slim_model = build_model(
+                "yolox-p6", depth=0.67, width=0.75, fused=True,
+                slim=slim_model.slim, dtype=jnp.bfloat16, split_cat=True)
         if args.only != "bf16":
             print("# calibrating + quantizing on host CPU", flush=True)
             # the exact headline recipe — shared with bench.py main()
-            q_model, qvars = bench._quantize_slim(slim_model, slim_vars)
+            q_model, qvars = bench._quantize_slim(
+                slim_model, slim_vars,
+                per_channel_act=args.act_scales == "channel",
+                split_cat=args.split_cat)
 
     device = jax.devices()[0]
     imgs = jax.device_put(
@@ -81,7 +97,8 @@ def main():
     if args.only in (None, "bf16"):
         measure("bf16 ", slim_model, slim_vars)
     if args.only in (None, "w8a8"):
-        measure("w8a8 ", q_model, qvars)
+        tag = "w8a8" + (" perchan" if args.act_scales == "channel" else "")
+        measure(tag + " ", q_model, qvars)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--quant", default=None, choices=[None, "w8a8"],
                     help="export the int8-PTQ model (ckpt must carry the "
                          "'quant' collection from tools/quantize_model.py)")
+    ap.add_argument("--split-cat", action="store_true",
+                    help="export the split-concat FPN deployment graph "
+                         "(models/pafpn.py split_cat; exact in int8)")
     ap.add_argument("--depth", type=float, default=None,
                     help="model depth for --slim-spec/--quant builds "
                          "(default: from the exp)")
@@ -75,7 +78,7 @@ def main():
     x_spec = jax.ShapeDtypeStruct(
         (args.batch_size, args.tsize, args.tsize, 3), jnp.float32)
 
-    if args.slim_spec or args.quant or args.stem6:
+    if args.slim_spec or args.quant or args.stem6 or args.split_cat:
         # deployment artifacts (slim / int8) load through the SAME builder
         # the submission harness uses, so the exported graph is exactly the
         # served program
@@ -91,7 +94,8 @@ def main():
                       "width": (args.width if args.width is not None
                                 else exp.width)},
             "ckpt": args.ckpt, "slim_spec": args.slim_spec,
-            "quant": args.quant, "stem6": args.stem6, "half": True,
+            "quant": args.quant, "stem6": args.stem6,
+            "split_cat": args.split_cat, "half": True,
         })
     else:
         model = exp.get_model(fused=True)

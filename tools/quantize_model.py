@@ -50,6 +50,11 @@ def make_parser():
     p.add_argument("--calib-batches", type=int, default=4)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (leave the TPU tunnel alone)")
+    p.add_argument("--act-scales", choices=["tensor", "channel"],
+                   default="tensor",
+                   help="activation-scale granularity: per-tensor (round-3 "
+                        "recipe) or per-input-channel (folded into the "
+                        "kernel; same runtime graph, finer grid)")
     return p
 
 
@@ -113,7 +118,8 @@ def main():
     batches = [jnp.asarray(b) for b in calib_batches(args)]
     logger.info("calibrating on %d batches of %s", len(batches),
                 tuple(batches[0].shape))
-    qvars = quantize_model(calib_model, variables, batches)
+    qvars = quantize_model(calib_model, variables, batches,
+                           per_channel_act=args.act_scales == "channel")
 
     rep = quantization_report(qvars)
     logger.info("quantized: %s", json.dumps(rep))
