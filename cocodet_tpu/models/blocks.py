@@ -562,6 +562,9 @@ class SPPBottleneck(nn.Module):
     # slimmed producer needs the checkpoint value pinned); out to features
     hidden_width: Optional[int] = None
     out_width: Optional[int] = None
+    # deployment-graph split-concat mode: the pool concat feeds the 1x1
+    # conv2 as Conv2d parts (no materialized 4x-width tensor)
+    split_cat: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -576,8 +579,8 @@ class SPPBottleneck(nn.Module):
                   weight_mask=self.weight_mask)
         x = ConvBnAct(hidden, 1, 1, name="conv1", **kw)(x, train)
         xs = [x] + [max_pool_same(x, k) for k in self.kernel_sizes]
-        x = jnp.concatenate(xs, axis=-1)
-        x = ConvBnAct(out, 1, 1, name="conv2", **kw)(x, train)
+        merged = xs if self.split_cat else jnp.concatenate(xs, axis=-1)
+        x = ConvBnAct(out, 1, 1, name="conv2", **kw)(merged, train)
         return x
 
 

@@ -113,6 +113,10 @@ class CSPBackbone(nn.Module):
     # trained weights exactly).  Candidate TPU win: the strided
     # slice-concat becomes one conv with no HBM re-gather.
     stem6: bool = False
+    # deployment-graph split-concat mode (blocks.Conv2d parts): CSP conv3
+    # and the SPP pool-concat conv2 consume their parts without
+    # materializing the channel concat
+    split_cat: bool = False
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -156,6 +160,7 @@ class CSPBackbone(nn.Module):
                                   weight_mask=self.weight_mask,
                                   hidden_width=spp_slim.get("hidden"),
                                   out_width=spp_slim.get("out"),
+                                  split_cat=self.split_cat,
                                   name=f"{spec.name}_spp", **kw)(x, train)
             x = csp_cls(
                 feats,
@@ -168,6 +173,7 @@ class CSPBackbone(nn.Module):
                 use_mask=self.use_mask,
                 weight_mask=self.weight_mask,
                 slim=(self.slim or {}).get(f"{spec.name}_csp"),
+                split_cat=self.split_cat,
                 name=f"{spec.name}_csp",
                 **kw,
             )(x, train)

@@ -131,6 +131,7 @@ class YOLOPAFPN(nn.Module):
             remat=self.remat,
             slim=self.slim,
             stem6=self.stem6,
+            split_cat=self.split_cat,
             dtype=self.dtype,
             axis_name=self.axis_name,
             name="backbone",
