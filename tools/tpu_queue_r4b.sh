@@ -42,4 +42,9 @@ run_job bf16_split timeout 3600 python tools/bench_int8.py --only bf16 --split-c
 run_job bf16_split_stem6 timeout 3600 python tools/bench_breakdown.py --slim \
   --batches 128 --topk 1024 --mode full --stem6 --split-cat
 
+# int8 batch sweep: the b128 optimum was measured on the bf16 slim model
+# (bench.py docstring); the int8 graph has different tiling pressure.
+run_job int8_b192 timeout 3600 python tools/bench_int8.py --only w8a8 -b 192
+run_job int8_b256 timeout 3600 python tools/bench_int8.py --only w8a8 -b 256
+
 echo "== QUEUE R4B COMPLETE $(date -u)" | tee -a outputs/logs/queue.log
