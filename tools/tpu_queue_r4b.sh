@@ -42,6 +42,15 @@ run_job bf16_split timeout 3600 python tools/bench_int8.py --only bf16 --split-c
 run_job bf16_split_stem6 timeout 3600 python tools/bench_breakdown.py --slim \
   --batches 128 --topk 1024 --mode full --stem6 --split-cat
 
+# chainC: bracket the ~75%-param point between chainB (24ch -> 86.3%
+# params, AP50 0.8827) and the 40ch default (-> 60.1% params, 0.7900) —
+# same fixed-mosaic anchor, 32ch per event.
+run_job r4_chainC timeout 7200 python tools/run_pipeline.py --synth \
+  --synth-epochs 30 --synth-size 320 --synth-images 512 \
+  --start-stage prune --init-from outputs/r4_chain \
+  --prune-set prune_channels 32 \
+  --out outputs/r4_chainC
+
 # int8 batch sweep: the b128 optimum was measured on the bf16 slim model
 # (bench.py docstring); the int8 graph has different tiling pressure.
 run_job int8_b192 timeout 3600 python tools/bench_int8.py --only w8a8 -b 192
