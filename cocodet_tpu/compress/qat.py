@@ -98,6 +98,14 @@ def requantize(params: Dict, quant: Dict) -> Tuple[Dict, Dict]:
     QAT forward simulated: same absmax/127 per-out-channel recipe
     (models/blocks.py Conv2d quant="qat" vs quantize.quantize_weights).
     """
-    qvars, quant_out = quantize_weights({"params": params},
-                                        act_scale_tree(quant))
+    qtree = act_scale_tree(quant)
+    for path, v in flatten_dict(qtree).items():
+        if getattr(v, "ndim", 0):
+            # quantize_weights would fold the vector into the kernel — a
+            # different rounding grid than the per-tensor fake-quant the QAT
+            # forward simulated (models/blocks.py raises on vector scales).
+            raise ValueError(
+                f"requantize: per-channel act_scale at {path} — QAT "
+                "supports per-tensor activation scales only")
+    qvars, quant_out = quantize_weights({"params": params}, qtree)
     return qvars["params"], quant_out

@@ -200,11 +200,16 @@ class Conv2d(nn.Module):
         parts = None
         if isinstance(x, (tuple, list)):
             parts = [p if isinstance(p, tuple) else (p, False) for p in x]
-            assert self.groups == 1, "split-concat conv: groups must be 1"
-            assert not any(up for _, up in parts) or (
-                self.kernel_size == 1 and self.stride == 1
-                and self.dilation == 1), \
-                "up2x parts need a 1x1 stride-1 conv (pointwise commute)"
+            # Hard errors (not asserts): a violation produces silently wrong
+            # numerics — the up2x commute only holds for pointwise convs, and
+            # grouped convs would mis-slice the kernel.
+            if self.groups != 1:
+                raise ValueError("split-concat conv: groups must be 1")
+            if any(up for _, up in parts) and not (
+                    self.kernel_size == 1 and self.stride == 1
+                    and self.dilation == 1):
+                raise ValueError(
+                    "up2x parts need a 1x1 stride-1 conv (pointwise commute)")
             cin = sum(p.shape[-1] for p, _ in parts)
             x = parts[0][0]  # dtype/shape reference
         else:
@@ -277,7 +282,9 @@ class Conv2d(nn.Module):
             out_scale = w_scale if a_scale.ndim else a_scale * w_scale
             y = (y.astype(jnp.float32) * out_scale).astype(dtype)
         elif self.quant == "qat":
-            assert parts is None, "split-concat is a deployment-graph mode"
+            if parts is not None:
+                raise ValueError("split-concat is a deployment-graph mode "
+                                 "(incompatible with quant='qat')")
             # QAT simulation of the w8a8 deployment numerics: the weight
             # scale is dynamic (tracks the fine-tuned kernel exactly as the
             # post-QAT requantization will snapshot it), the activation
@@ -286,6 +293,17 @@ class Conv2d(nn.Module):
             a_scale = self.variable(
                 "quant", "act_scale",
                 lambda: jnp.ones((), jnp.float32)).value
+            if a_scale.ndim:
+                # Per-channel act scales (compress/quantize.py
+                # per_channel_act) deploy by FOLDING the vector into the
+                # kernel before the per-out-channel w_scale is computed; this
+                # fake-quant branch quantizes the raw kernel, so simulating a
+                # per-channel tree here would train against a different
+                # rounding grid than requantize() deploys.  Refuse instead of
+                # silently diverging.
+                raise ValueError(
+                    "quant='qat' only supports per-tensor act scales; "
+                    "re-calibrate with per_channel_act=False for QAT")
             kf = kernel.astype(jnp.float32)
             w_scale = jax.lax.stop_gradient(jnp.maximum(
                 jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0)

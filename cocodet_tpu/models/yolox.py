@@ -78,6 +78,13 @@ class YOLOX(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_taps: bool = False):
+        if self.remat and self.split_cat:
+            # jax.checkpoint flattens the (array, up2x) parts lists that
+            # split_cat feeds into CSP layers, turning the static up2x
+            # booleans into tracers — Conv2d's graph dispatch then fails at
+            # trace time.  split_cat is a deployment (inference) rewrite and
+            # remat a training lever; the combination is never meaningful.
+            raise ValueError("split_cat cannot be combined with remat")
         if self.spec.variant == "yolofpn":
             from .yolo_fpn import YOLOFPN
 

@@ -134,3 +134,20 @@ def test_requantize_report(qat_setup):
              if any(s.startswith(("cls_pred", "reg_pred", "obj_pred"))
                     for s in p)}
     assert preds and all(v.dtype != jnp.int8 for v in preds.values())
+
+
+def test_qat_rejects_per_channel_act_scales(qat_setup):
+    """QAT's fake-quant simulates the per-TENSOR deployment grid; a
+    per-channel quant tree (compress/quantize.py per_channel_act) deploys by
+    folding the vector into the kernel, which the simulation does not model.
+    Both the forward (models/blocks.py) and requantize() must refuse."""
+    variables, quant, imgs = qat_setup
+    quant_vec = jax.tree_util.tree_map(
+        lambda v: jnp.ones((4,), jnp.float32) if v.ndim == 0 else v, quant)
+    qat_model = build_model("yolox-p6", depth=D, width=W, fused=True,
+                            quant="qat")
+    with pytest.raises(ValueError, match="per-tensor"):
+        qat_model.apply({"params": variables["params"],
+                         "quant": quant_vec}, imgs)
+    with pytest.raises(ValueError, match="per-channel"):
+        requantize(variables["params"], quant_vec)

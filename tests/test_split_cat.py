@@ -84,3 +84,27 @@ def test_split_cat_w8a8_bit_exact(fused_setup, per_channel):
     ref = _flat(q_plain, qvars, imgs)
     got = _flat(q_split, qvars, imgs)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_split_cat_rejects_remat():
+    """remat (jax.checkpoint) would trace the static up2x part flags into
+    tracers — the combination is refused at model build (models/yolox.py)."""
+    model = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        split_cat=True, remat=True)
+    with pytest.raises(ValueError, match="remat"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+
+
+def test_parts_guards_raise():
+    """Conv2d parts-mode preconditions are hard errors, not asserts: a
+    grouped conv or a non-pointwise conv fed up2x parts would compute
+    silently wrong numerics (the upsample commute only holds for 1x1/s1)."""
+    from cocodet_tpu.models.blocks import Conv2d
+
+    a = jnp.zeros((1, 8, 8, 4))
+    with pytest.raises(ValueError, match="groups"):
+        Conv2d(features=8, kernel_size=1, groups=2).init(
+            jax.random.PRNGKey(0), [a, a])
+    with pytest.raises(ValueError, match="pointwise"):
+        Conv2d(features=8, kernel_size=3).init(
+            jax.random.PRNGKey(0), [(a, True), (a, False)])

@@ -79,15 +79,11 @@ def main():
         variables = dict(variables)
         variables["params"] = fold_focus_stem(
             variables["params"], order="pixel_unshuffle")
+    if args.stem6 or args.split_cat:
         model = build_model("yolox-p6", depth=0.67, width=0.75,
                             dtype=jnp.bfloat16, fused=True,
                             slim=getattr(model, "slim", None),
-                            stem6=True)
-    if args.split_cat:
-        model = build_model("yolox-p6", depth=0.67, width=0.75,
-                            dtype=jnp.bfloat16, fused=True,
-                            slim=getattr(model, "slim", None),
-                            stem6=args.stem6, split_cat=True)
+                            stem6=args.stem6, split_cat=args.split_cat)
 
     for b in args.batches:
         x = jnp.asarray(np.random.rand(b, args.size, args.size, 3) * 255,
