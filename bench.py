@@ -187,15 +187,18 @@ def main(dense=False, bf16=False, smoke=False):
             lambda x: jnp.asarray(x, jnp.float32), slim_vars)
         if not bf16:
             # w8a8 PTQ on top of the slim model: per-out-channel int8
-            # weights + calibrated per-tensor activation scales
-            # (compress/quantize.py).  Accuracy-neutral on the synthetic
-            # chain (AP50 0.8241 int8 vs 0.8217 bf16,
-            # tools/quantize_model.py + eval_harness_ckpt.py) and
-            # measured +5.6% on the v5e (2565 vs 2430 img/s,
-            # tools/bench_int8.py).  Calibration is host-CPU eager math —
-            # still exactly ONE TPU program below.
+            # weights + calibrated PER-INPUT-CHANNEL activation scales
+            # folded into the kernel (compress/quantize.py
+            # per_channel_act — the round-4 recipe: throughput-neutral on
+            # the v5e, 2587.9 vs 2575.5 img/s per-tensor, and recovers
+            # 70% of the int8 AP50 loss on the r4_chain artifact, 0.7892
+            # vs 0.7874, bf16 0.7900).  Accuracy parity harness:
+            # tools/quantize_model.py + eval_harness_ckpt.py.
+            # Calibration is host-CPU eager math — still exactly ONE TPU
+            # program below.
             _progress("calibrating + quantizing (w8a8) on host CPU")
-            slim_model, slim_vars = _quantize_slim(slim_model, slim_vars)
+            slim_model, slim_vars = _quantize_slim(slim_model, slim_vars,
+                                                   per_channel_act=True)
             _progress("quantization done")
     _progress("transferring params + inputs to device")
     device = jax.devices()[0]

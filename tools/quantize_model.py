@@ -51,10 +51,15 @@ def make_parser():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (leave the TPU tunnel alone)")
     p.add_argument("--act-scales", choices=["tensor", "channel"],
-                   default="tensor",
-                   help="activation-scale granularity: per-tensor (round-3 "
-                        "recipe) or per-input-channel (folded into the "
-                        "kernel; same runtime graph, finer grid)")
+                   default="channel",
+                   help="activation-scale granularity.  Default 'channel' "
+                        "(per-input-channel, folded into the kernel: same "
+                        "runtime graph, finer grid) is the round-4 "
+                        "production recipe — throughput-neutral on the v5e "
+                        "(2587.9 vs 2575.5 img/s) and recovers 70%% of the "
+                        "int8 AP50 loss (0.7892 vs 0.7874, bf16 0.7900).  "
+                        "'tensor' is the round-3 recipe (and the only one "
+                        "QAT can fine-tune).")
     return p
 
 
