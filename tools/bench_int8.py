@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--split-cat", action="store_true",
                     help="split-concat FPN deployment graph (exact in int8; "
                          "models/pafpn.py split_cat)")
+    ap.add_argument("--stem6", action="store_true",
+                    help="serve the Focus stem as its exact 6x6 s2 conv "
+                         "(ops/fuse.py fold_focus_stem; quantization runs "
+                         "first, then params+quant trees are folded — the "
+                         "tests/test_stem6.py int8-exact order)")
     args = ap.parse_args()
     batch, size = args.batch, args.size
 
@@ -76,6 +81,26 @@ def main():
                 slim_model, slim_vars,
                 per_channel_act=args.act_scales == "channel",
                 split_cat=args.split_cat)
+        if args.stem6:
+            from cocodet_tpu.models import build_model
+            from cocodet_tpu.ops.fuse import fold_focus_quant, fold_focus_stem
+
+            slim_vars = dict(slim_vars)
+            slim_vars["params"] = fold_focus_stem(
+                slim_vars["params"], order="pixel_unshuffle")
+            slim_model = build_model(
+                "yolox-p6", depth=0.67, width=0.75, fused=True,
+                slim=slim_model.slim, dtype=jnp.bfloat16,
+                stem6=True, split_cat=args.split_cat)
+            if args.only != "bf16":
+                qvars = dict(qvars)
+                qvars["params"] = fold_focus_stem(
+                    qvars["params"], order="pixel_unshuffle")
+                qvars["quant"] = fold_focus_quant(qvars["quant"])
+                q_model = build_model(
+                    "yolox-p6", depth=0.67, width=0.75, fused=True,
+                    slim=slim_model.slim, dtype=jnp.bfloat16, quant="w8a8",
+                    stem6=True, split_cat=args.split_cat)
 
     device = jax.devices()[0]
     imgs = jax.device_put(
