@@ -89,6 +89,24 @@ def _synth_overrides(exp, data_dir, size=256, max_epoch=20, lr=2.5e-4,
 STAGES = ("phase1", "phase2", "prune", "tune", "compress")
 
 
+def follow_chain_ckpt(base, name):
+    """Resolve a skipped stage's ckpt through the chain_src.txt lineage:
+    a resumed run's directory only holds the stages it executed, so walk
+    back through its recorded sources until the artifact appears (e.g. a
+    tune rerun init-from a prune rerun init-from the full chain)."""
+    first = os.path.join(base, name, "latest_ckpt.msgpack")
+    for _ in range(len(STAGES)):
+        path = os.path.join(base, name, "latest_ckpt.msgpack")
+        if os.path.exists(path):
+            return path
+        marker = os.path.join(base, "chain_src.txt")
+        if not os.path.exists(marker):
+            break
+        with open(marker) as f:
+            base = f.read().strip()
+    return first  # dead end: report the first-choice path in the error
+
+
 def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
                  tiny_epochs=1, synth_epochs=0, synth_size=256,
                  start_stage="phase1", init_from=None,
@@ -111,15 +129,22 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     synth = synth_epochs > 0
     start_idx = STAGES.index(start_stage)
     src = init_from or out_dir
+    if src != out_dir:
+        # record the resume lineage so a LATER run resuming from THIS
+        # directory can still find stages this run skipped (e.g. a tune
+        # rerun init-from a prune rerun init-from the full chain)
+        with open(os.path.join(out_dir, "chain_src.txt"), "w") as f:
+            f.write(os.path.abspath(src))
 
     def _runs(stage):
         return STAGES.index(stage) >= start_idx
 
     def _stage_ckpt(stage, name):
         """latest ckpt of a stage: from this run if it executed, else from
-        the prior run's directory."""
-        base = out_dir if _runs(stage) else src
-        return os.path.join(base, name, "latest_ckpt.msgpack")
+        the prior run's directory (following its resume lineage)."""
+        if _runs(stage):
+            return os.path.join(out_dir, name, "latest_ckpt.msgpack")
+        return follow_chain_ckpt(src, name)
 
     # carry skipped stages' metrics forward so pipeline_results.json stays
     # a full trajectory
