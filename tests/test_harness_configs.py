@@ -1,0 +1,68 @@
+"""Schema smoke for the shipped harness configs (harness/config/*.json).
+
+The harness reads these with plain dict.get defaults (harness/main.py
+build_model_and_vars), so a typo'd key silently falls back — this test
+pins the surface: every shipped config parses, carries the required
+keys with sane types, and uses only known graph/serving flags.
+"""
+
+import glob
+import json
+import os
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+CONFIGS = sorted(glob.glob(os.path.join(REPO, "harness", "config", "*.json")))
+
+KNOWN_KEYS = {
+    "_comment", "img_size", "ckpt", "half", "quant", "stem6", "split_cat",
+    "data_dir", "annotation", "model", "input_aug", "dataloader",
+    "postprocess", "slim_spec", "sparse", "data_parallel",
+    "spatial_partition",
+}
+
+
+def test_configs_exist():
+    assert CONFIGS, "no harness configs found"
+
+
+def test_configs_parse_and_schema():
+    for path in CONFIGS:
+        with open(path) as f:
+            cfg = json.load(f)
+        name = os.path.basename(path)
+        unknown = set(cfg) - KNOWN_KEYS
+        assert not unknown, f"{name}: unknown keys {unknown}"
+        assert isinstance(cfg["img_size"], int) and cfg["img_size"] % 64 == 0, \
+            f"{name}: img_size must be a stride-64 multiple"
+        model = cfg["model"]
+        assert isinstance(model["depth"], (int, float))
+        assert isinstance(model["width"], (int, float))
+        assert isinstance(cfg["dataloader"]["batch_size"], int)
+        pp = cfg["postprocess"]
+        assert 0 < pp["nms_threshold"] < 1
+        # max_num_nms is optional (harness defaults it); if set, keep it
+        # at or above the mAP-equivalence-tested floor (K=1024 study)
+        assert pp.get("max_num_nms", 1024) >= 256
+        if cfg.get("quant") is not None:
+            assert cfg["quant"] == "w8a8", f"{name}: unknown quant mode"
+        for flag in ("half", "stem6", "split_cat", "input_aug"):
+            if flag in cfg:
+                assert isinstance(cfg[flag], bool), f"{name}: {flag} not bool"
+
+
+def test_latency_config_is_the_measured_b1_recipe():
+    """The latency config must carry the measured round-4 b1 operating
+    point: stem6 + split_cat + w8a8 at batch 1 (ROADMAP serving sweep —
+    2.91 ms vs 3.37 plain; both flags LOSE at b128 so only this config
+    sets them)."""
+    with open(os.path.join(REPO, "harness", "config",
+                           "yolox_m_p6_latency.json")) as f:
+        cfg = json.load(f)
+    assert cfg["stem6"] and cfg["split_cat"] and cfg["quant"] == "w8a8"
+    assert cfg["dataloader"]["batch_size"] == 1
+    others = [p for p in CONFIGS if "latency" not in p]
+    for path in others:
+        with open(path) as f:
+            other = json.load(f)
+        assert not other.get("stem6") and not other.get("split_cat"), \
+            f"{os.path.basename(path)}: b128-negative graph flags set"
