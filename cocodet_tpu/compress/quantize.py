@@ -90,11 +90,23 @@ def build_quant_tree(stats: Dict, per_channel_act: bool = False) -> Dict:
     return unflatten_dict(out)
 
 
-def quantize_weights(variables: Dict, quant_tree: Dict
+def quantize_weights(variables: Dict, quant_tree: Dict, bits: int = 8
                      ) -> Tuple[Dict, Dict]:
-    """Per-out-channel symmetric int8 quantization of every conv kernel
-    that has a calibrated ``act_scale``.  Returns (new variables with int8
-    kernels, quant collection carrying w_scale + act_scale)."""
+    """Per-out-channel symmetric int-``bits`` quantization of every conv
+    kernel that has a calibrated ``act_scale``.  Returns (new variables with
+    int8 kernels, quant collection carrying w_scale + act_scale).
+
+    ``bits=4`` (w4a8) narrows the weight grid to [-7, 7] with
+    ``w_scale = absmax / 7`` while KEEPING the runtime dtype int8: the MXU
+    conv is still one s8 x s8 -> s32 op with the exact same graph — only
+    the per-out-channel scale changes, so every w8a8 consumer
+    (models/blocks.py, export, serving) works unchanged.  The 2x payoff is
+    storage: ``pack_int4_tree`` packs the nibble-range kernels two-per-byte
+    for the checkpoint, extending the reference's sparse-storage identity
+    (ref 03_jh_merge.py storage trick) one axis further."""
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    qmax = 127 if bits == 8 else 7
     params = dict(flatten_dict(variables["params"]))
     qflat = dict(flatten_dict(quant_tree))
     for path in list(qflat):
@@ -115,8 +127,8 @@ def quantize_weights(variables: Dict, quant_tree: Dict
             # the runtime rescale stays per-out-channel (blocks.py w8a8).
             kernel = kernel * a_scale[None, None, :, None]
         absmax = np.abs(kernel).max(axis=(0, 1, 2))  # per out channel
-        w_scale = np.maximum(absmax, 1e-8) / 127.0
-        q = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
+        w_scale = np.maximum(absmax, 1e-8) / qmax
+        q = np.clip(np.round(kernel / w_scale), -qmax, qmax).astype(np.int8)
         params[kpath] = jnp.asarray(q)
         qflat[scope + ("w_scale",)] = jnp.asarray(w_scale, jnp.float32)
     new_vars = dict(variables)
@@ -124,31 +136,93 @@ def quantize_weights(variables: Dict, quant_tree: Dict
     return new_vars, unflatten_dict(qflat)
 
 
+_INT4_DATA = "__int4_packed__"
+_INT4_SHAPE = "__int4_shape__"
+
+
+def pack_int4_tree(params: Dict) -> Dict:
+    """Pack every nibble-range int8 leaf (the bits=4 kernels) two values
+    per byte for checkpoint storage.  Each packed leaf becomes a
+    ``{_INT4_DATA: uint8[ceil(n/2)], _INT4_SHAPE: int32[ndim]}`` subtree;
+    ``unpack_int4_tree`` (called transparently by
+    utils.checkpoint.load_checkpoint) restores the exact int8 array.
+    Leaves outside [-8, 7] (plain w8a8 kernels) are left untouched."""
+    flat = flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        arr = np.asarray(leaf)
+        if arr.dtype == np.int8 and arr.size and arr.min() >= -8 \
+                and arr.max() <= 7:
+            v = arr.ravel()
+            if v.size % 2:
+                v = np.concatenate([v, np.zeros(1, np.int8)])
+            nib = (v.astype(np.uint8)) & 0xF  # two's-complement nibbles
+            packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+            out[path + (_INT4_DATA,)] = packed
+            out[path + (_INT4_SHAPE,)] = np.asarray(arr.shape, np.int32)
+        else:
+            out[path] = leaf
+    return unflatten_dict(out)
+
+
+def unpack_int4_tree(tree: Dict) -> Dict:
+    """Inverse of ``pack_int4_tree``: restores int8 arrays (sign-extending
+    each nibble) at every packed node; a tree with no packed nodes passes
+    through unchanged."""
+    flat = flatten_dict(tree)
+    out = {}
+    for path, leaf in flat.items():
+        if path[-1] == _INT4_SHAPE:
+            continue
+        if path[-1] == _INT4_DATA:
+            shape = tuple(int(s) for s in
+                          np.asarray(flat[path[:-1] + (_INT4_SHAPE,)]))
+            packed = np.asarray(leaf, np.uint8)
+            nib = np.empty(packed.size * 2, np.uint8)
+            nib[0::2] = packed & 0xF
+            nib[1::2] = packed >> 4
+            v = ((nib ^ 8).astype(np.int16) - 8).astype(np.int8)  # sign-ext
+            n = int(np.prod(shape)) if shape else 1
+            out[path[:-1]] = v[:n].reshape(shape)
+        else:
+            out[path] = leaf
+    return unflatten_dict(out)
+
+
+def tree_has_int4(tree: Dict) -> bool:
+    return any(path[-1] == _INT4_DATA for path in flatten_dict(tree))
+
+
 def quantize_model(calib_model, variables: Dict,
                    calib_batches: Iterable,
-                   per_channel_act: bool = False) -> Dict:
+                   per_channel_act: bool = False,
+                   bits: int = 8) -> Dict:
     """One-call PTQ: calibrate on ``calib_model`` (built with
     quant="calib"), quantize weights, and return the full variable tree
     (params with int8 kernels + the "quant" collection) ready for a model
     built with quant="w8a8").  ``per_channel_act=True`` uses per-input-
     channel activation scales (folded into the kernel — same runtime graph
-    shape, finer quantization grid)."""
+    shape, finer quantization grid).  ``bits=4`` produces w4a8 nibble-range
+    kernels (see quantize_weights) that pack_int4_tree can halve on disk."""
     stats = calibrate(calib_model, variables, calib_batches)
     qtree = build_quant_tree(stats, per_channel_act=per_channel_act)
-    qvars, quant = quantize_weights(variables, qtree)
+    qvars, quant = quantize_weights(variables, qtree, bits=bits)
     qvars["quant"] = quant
     return qvars
 
 
-def quantization_report(variables: Dict) -> Dict[str, Any]:
-    """Byte accounting: int8 vs float parameter footprint."""
+def quantization_report(variables: Dict, bits: int = 8) -> Dict[str, Any]:
+    """Byte accounting: quantized vs float parameter footprint.  ``bits``
+    is the STORAGE width of the int8-dtype kernels (4 when the checkpoint
+    will be packed with pack_int4_tree)."""
     flat = flatten_dict(variables["params"])
-    int8_bytes = sum(int(np.prod(v.shape)) for v in flat.values()
-                     if v.dtype == jnp.int8)
+    int8_bytes = sum(int(np.prod(v.shape)) * bits // 8
+                     for v in flat.values() if v.dtype == jnp.int8)
     float_bytes = sum(int(np.prod(v.shape)) * 4 for v in flat.values()
                       if v.dtype != jnp.int8)
     n_q = sum(1 for v in flat.values() if v.dtype == jnp.int8)
     return {"quantized_convs": n_q,
+            "weight_bits": bits,
             "int8_bytes": int8_bytes,
             "float_bytes": float_bytes,
             "total_mb": (int8_bytes + float_bytes) / 2**20}

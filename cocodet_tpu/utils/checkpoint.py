@@ -41,7 +41,14 @@ def save_checkpoint(state: Dict[str, Any], is_best: bool, save_dir: str,
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        tree = serialization.msgpack_restore(f.read())
+    # w4a8 checkpoints (tools/quantize_model.py --bits 4) store nibble-
+    # packed kernels (compress/quantize.py pack_int4_tree); unpack
+    # transparently so every consumer sees plain int8 params.
+    from ..compress.quantize import tree_has_int4, unpack_int4_tree
+    if isinstance(tree, dict) and tree_has_int4(tree):
+        tree = unpack_int4_tree(tree)
+    return tree
 
 
 def load_matched(target: Any, ckpt: Any) -> Any:

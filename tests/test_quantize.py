@@ -173,3 +173,101 @@ def test_head_preds_stay_float(fused_setup):
              if any("_pred" in part for part in p) and p[-1] == "kernel"}
     assert preds, "expected head prediction convs in the tree"
     assert all(v.dtype != jnp.int8 for v in preds.values())
+
+
+def test_int4_pack_roundtrip():
+    """pack_int4_tree/unpack_int4_tree are a lossless pair on nibble-range
+    int8 leaves (odd and even sizes, any rank) and pass everything else
+    through untouched."""
+    from cocodet_tpu.compress import pack_int4_tree, unpack_int4_tree
+    from cocodet_tpu.compress.quantize import tree_has_int4
+
+    rs = np.random.RandomState(3)
+    tree = {
+        "a": {"kernel": rs.randint(-8, 8, (3, 3, 5, 7)).astype(np.int8)},
+        "odd": rs.randint(-8, 8, (11,)).astype(np.int8),
+        "w8": rs.randint(-127, 128, (4, 4)).astype(np.int8),  # full-range
+        "f": rs.rand(6).astype(np.float32),
+    }
+    # force a genuinely full-range leaf so it must NOT be packed
+    tree["w8"].flat[0] = 127
+    packed = pack_int4_tree(tree)
+    assert tree_has_int4(packed)
+    # nibble leaves got ~2x smaller on the wire
+    assert packed["a"]["kernel"]["__int4_packed__"].nbytes \
+        == (tree["a"]["kernel"].size + 1) // 2
+    # full-range int8 and float leaves untouched
+    np.testing.assert_array_equal(packed["w8"], tree["w8"])
+    np.testing.assert_array_equal(packed["f"], tree["f"])
+    out = unpack_int4_tree(packed)
+    assert not tree_has_int4(out)
+    for k in ("odd", "w8", "f"):
+        np.testing.assert_array_equal(out[k], tree[k])
+    np.testing.assert_array_equal(out["a"]["kernel"], tree["a"]["kernel"])
+    assert out["a"]["kernel"].dtype == np.int8
+    # a tree with no packed nodes passes through unchanged
+    np.testing.assert_array_equal(
+        unpack_int4_tree(tree)["a"]["kernel"], tree["a"]["kernel"])
+
+
+def test_w4a8_forward_close(fused_setup):
+    """bits=4 (w4a8): kernels land on the [-7, 7] nibble grid, ride the
+    SAME w8a8 runtime graph, and stay reasonably close to the float model
+    (coarser grid -> looser tolerance than the w8a8 test)."""
+    variables, imgs = fused_setup
+    fused = build_model("yolox-p6", depth=D, width=W, fused=True)
+    calib = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        quant="calib")
+    q = build_model("yolox-p6", depth=D, width=W, fused=True, quant="w8a8")
+    qvars = quantize_model(calib, variables, [imgs], per_channel_act=True,
+                           bits=4)
+
+    from flax.traverse_util import flatten_dict
+    kernels = [np.asarray(v) for v in flatten_dict(qvars["params"]).values()
+               if v.dtype == jnp.int8]
+    assert kernels
+    assert all(k.min() >= -7 and k.max() <= 7 for k in kernels)
+
+    rep = quantization_report(qvars, bits=4)
+    assert rep["weight_bits"] == 4
+    assert rep["int8_bytes"] * 2 == quantization_report(qvars)["int8_bytes"]
+
+    ref = _flat_outputs(fused, variables, imgs)
+    got = _flat_outputs(q, qvars, imgs)
+    err = np.abs(got - ref)
+    scale = np.abs(ref).max()
+    assert err.max() / scale < 0.5, err.max() / scale
+    assert np.percentile(err, 99) / scale < 0.15
+
+
+def test_w4a8_checkpoint_roundtrip(fused_setup, tmp_path):
+    """The packed w4a8 msgpack is ~2x smaller than the unpacked one and
+    load_checkpoint restores bit-identical int8 params transparently."""
+    from flax import serialization
+    from flax.traverse_util import flatten_dict
+
+    from cocodet_tpu.compress import pack_int4_tree
+    from cocodet_tpu.utils.checkpoint import load_checkpoint
+
+    variables, imgs = fused_setup
+    calib = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        quant="calib")
+    qvars = quantize_model(calib, variables, [imgs], bits=4)
+    params = jax.tree_util.tree_map(np.asarray, qvars["params"])
+
+    plain = serialization.msgpack_serialize(
+        serialization.to_state_dict({"params": params}))
+    packed_state = serialization.to_state_dict(
+        {"params": pack_int4_tree(params)})
+    packed = serialization.msgpack_serialize(packed_state)
+    int8_total = sum(v.size for v in flatten_dict(params).values()
+                     if v.dtype == np.int8)
+    assert len(plain) - len(packed) > int8_total // 3  # real storage win
+
+    p = tmp_path / "w4a8_ckpt.msgpack"
+    p.write_bytes(packed)
+    loaded = load_checkpoint(str(p))
+    got = flatten_dict(loaded["params"])
+    for k, v in flatten_dict(params).items():
+        np.testing.assert_array_equal(np.asarray(got[k]), v, err_msg=str(k))
+        assert np.asarray(got[k]).dtype == v.dtype

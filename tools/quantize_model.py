@@ -60,6 +60,12 @@ def make_parser():
                         "int8 AP50 loss (0.7892 vs 0.7874, bf16 0.7900).  "
                         "'tensor' is the round-3 recipe (and the only one "
                         "QAT can fine-tune).")
+    p.add_argument("--bits", type=int, choices=[8, 4], default=8,
+                   help="weight storage width.  8 = w8a8 (production).  "
+                        "4 = w4a8: kernels quantized to [-7, 7] and nibble-"
+                        "packed in the output msgpack (2x smaller artifact); "
+                        "the runtime graph is the SAME s8xs8->s32 w8a8 "
+                        "program — load_checkpoint unpacks transparently.")
     return p
 
 
@@ -124,14 +130,20 @@ def main():
     logger.info("calibrating on %d batches of %s", len(batches),
                 tuple(batches[0].shape))
     qvars = quantize_model(calib_model, variables, batches,
-                           per_channel_act=args.act_scales == "channel")
+                           per_channel_act=args.act_scales == "channel",
+                           bits=args.bits)
 
-    rep = quantization_report(qvars)
+    rep = quantization_report(qvars, bits=args.bits)
     logger.info("quantized: %s", json.dumps(rep))
 
+    out_params = qvars["params"]
+    if args.bits == 4:
+        from cocodet_tpu.compress import pack_int4_tree
+        out_params = pack_int4_tree(
+            jax.tree_util.tree_map(np.asarray, out_params))
     state = jax.tree_util.tree_map(
         np.asarray, serialization.to_state_dict(
-            {"params": qvars["params"], "quant": qvars["quant"]}))
+            {"params": out_params, "quant": qvars["quant"]}))
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "wb") as f:
         f.write(serialization.msgpack_serialize(state))
