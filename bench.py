@@ -18,9 +18,16 @@ round-2 driver gate timed out, BENCH_r02.json rc=124):
   secondary measurement sits between the result and stdout.  The dense
   r1-comparable number moved behind ``--dense``.
 - The watchdog treats a forwarded JSON line as success (kills the child if
-  it wedges after printing), restarts on >420s of silence (one remote
-  compile is at most ~6 min; the child prints progress lines around each
-  long step so healthy compiles don't trip it), 3 attempts.
+  it wedges after printing) and restarts on silence, with PHASE-AWARE
+  deadlines (round-4 rework after BENCH_r02 rc=124 and the BENCH_r03
+  attempt-1 stall both burned attempts on the flat 420s limit): the known
+  wedge mode is the FIRST remote-compile POST hanging at process start,
+  while a healthy remote compile can legitimately exceed 420s.  The
+  child's progress markers tell the two apart — before the "compiling +
+  timing" marker every step is host-CPU eager math (fast even on the
+  1-core host), so silence gets a 420s limit and a wedge dies cheaply;
+  once the compile marker is seen the limit stretches to 900s so a slow
+  healthy compile can finish.  3 attempts.
 
 Batch 128: the slim model's narrower convs need a large batch to fill the
 MXU, and 128 aligns the batch dim to the 128-lane registers — measured
@@ -275,7 +282,11 @@ def _run_with_watchdog():
         except OSError:
             return False
 
-    stall_s, attempts = 420, 3
+    # Phase-aware stall limits (see module docstring): pre-compile phases
+    # are host-CPU eager math — silence there means the known start-up
+    # tunnel wedge, kill fast; the one remote compile is allowed 900s.
+    stall_pre_s, stall_compile_s, attempts = 420, 900, 3
+    compile_marker = "compiling + timing"
     probing = os.path.exists("/root/.tpu_init.py")  # axon-tunnel hosts only
     for attempt in range(attempts):
         if probing and not _tunnel_up():
@@ -298,10 +309,13 @@ def _run_with_watchdog():
 
         last = [time.time()]
         got_json = [False]
+        in_compile = [False]
 
         def pump():
             for line in proc.stdout:
                 last[0] = time.time()
+                if compile_marker in line:
+                    in_compile[0] = True
                 if line.startswith("{") and not got_json[0]:
                     got_json[0] = True
                     sys.stdout.write(line)
@@ -323,10 +337,13 @@ def _run_with_watchdog():
                 except subprocess.TimeoutExpired:
                     proc.kill()
                 break
+            stall_s = stall_compile_s if in_compile[0] else stall_pre_s
             if time.time() - last[0] > stall_s:
                 proc.kill()
-                print(f"# bench stalled >{stall_s}s (attempt {attempt + 1}/"
-                      f"{attempts}), restarting", file=sys.stderr, flush=True)
+                phase = "compile" if in_compile[0] else "pre-compile"
+                print(f"# bench stalled >{stall_s}s in {phase} phase "
+                      f"(attempt {attempt + 1}/{attempts}), restarting",
+                      file=sys.stderr, flush=True)
                 break
         t.join(timeout=30)
         if got_json[0]:

@@ -99,13 +99,10 @@ def requantize(params: Dict, quant: Dict) -> Tuple[Dict, Dict]:
     (models/blocks.py Conv2d quant="qat" vs quantize.quantize_weights).
     """
     qtree = act_scale_tree(quant)
-    for path, v in flatten_dict(qtree).items():
-        if getattr(v, "ndim", 0):
-            # quantize_weights would fold the vector into the kernel — a
-            # different rounding grid than the per-tensor fake-quant the QAT
-            # forward simulated (models/blocks.py raises on vector scales).
-            raise ValueError(
-                f"requantize: per-channel act_scale at {path} — QAT "
-                "supports per-tensor activation scales only")
+    # Per-channel act_scale vectors are supported end-to-end (round 4):
+    # quantize_weights folds each vector into its kernel before the
+    # per-cout quantization, which is exactly the grid the QAT forward
+    # simulated (models/blocks.py quant="qat" folds the same vector and
+    # fake-quants the folded kernel).
     qvars, quant_out = quantize_weights({"params": params}, qtree)
     return qvars["params"], quant_out

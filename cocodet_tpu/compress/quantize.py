@@ -140,19 +140,35 @@ _INT4_DATA = "__int4_packed__"
 _INT4_SHAPE = "__int4_shape__"
 
 
-def pack_int4_tree(params: Dict) -> Dict:
-    """Pack every nibble-range int8 leaf (the bits=4 kernels) two values
-    per byte for checkpoint storage.  Each packed leaf becomes a
+def pack_int4_tree(params: Dict, kernel_paths=None) -> Dict:
+    """Pack int4-storage kernels two values per byte for checkpoint
+    storage.  Each packed leaf becomes a
     ``{_INT4_DATA: uint8[ceil(n/2)], _INT4_SHAPE: int32[ndim]}`` subtree;
     ``unpack_int4_tree`` (called transparently by
     utils.checkpoint.load_checkpoint) restores the exact int8 array.
-    Leaves outside [-8, 7] (plain w8a8 kernels) are left untouched."""
+
+    ``kernel_paths`` (a set of flattened-dict path tuples) DECLARES which
+    leaves were quantized with bits=4 — pass it (quantize_model.py derives
+    it from the quant collection) so the on-disk format is deterministic
+    for a given --bits setting rather than data-dependent.  Leaves named
+    in it must be nibble-range int8 (asserted).  Without it, falls back to
+    packing every int8 leaf whose values happen to fit [-8, 7]."""
     flat = flatten_dict(params)
     out = {}
     for path, leaf in flat.items():
         arr = np.asarray(leaf)
-        if arr.dtype == np.int8 and arr.size and arr.min() >= -8 \
-                and arr.max() <= 7:
+        if kernel_paths is not None:
+            packable = path in kernel_paths
+            if packable and not (arr.dtype == np.int8 and
+                                 (not arr.size or
+                                  (arr.min() >= -8 and arr.max() <= 7))):
+                raise ValueError(
+                    f"pack_int4_tree: {'/'.join(map(str, path))} was "
+                    "declared int4 but is not a nibble-range int8 leaf")
+        else:
+            packable = (arr.dtype == np.int8 and arr.size
+                        and arr.min() >= -8 and arr.max() <= 7)
+        if packable and arr.size:
             v = arr.ravel()
             if v.size % 2:
                 v = np.concatenate([v, np.zeros(1, np.int8)])
@@ -173,10 +189,20 @@ def unpack_int4_tree(tree: Dict) -> Dict:
     out = {}
     for path, leaf in flat.items():
         if path[-1] == _INT4_SHAPE:
+            if path[:-1] + (_INT4_DATA,) not in flat:
+                raise ValueError(
+                    "corrupt int4-packed checkpoint: orphan "
+                    f"{_INT4_SHAPE} at {'/'.join(map(str, path[:-1]))} "
+                    f"(no {_INT4_DATA} sibling)")
             continue
         if path[-1] == _INT4_DATA:
-            shape = tuple(int(s) for s in
-                          np.asarray(flat[path[:-1] + (_INT4_SHAPE,)]))
+            spath = path[:-1] + (_INT4_SHAPE,)
+            if spath not in flat:
+                raise ValueError(
+                    "corrupt int4-packed checkpoint: "
+                    f"{'/'.join(map(str, path[:-1]))} has {_INT4_DATA} "
+                    f"but no {_INT4_SHAPE} sibling (truncated save?)")
+            shape = tuple(int(s) for s in np.asarray(flat[spath]))
             packed = np.asarray(leaf, np.uint8)
             nib = np.empty(packed.size * 2, np.uint8)
             nib[0::2] = packed & 0xF
@@ -214,9 +240,12 @@ def quantize_model(calib_model, variables: Dict,
 def quantization_report(variables: Dict, bits: int = 8) -> Dict[str, Any]:
     """Byte accounting: quantized vs float parameter footprint.  ``bits``
     is the STORAGE width of the int8-dtype kernels (4 when the checkpoint
-    will be packed with pack_int4_tree)."""
+    will be packed with pack_int4_tree).  bits=4 accounting matches
+    pack_int4_tree exactly: ceil(n/2) data bytes + the int32 shape-
+    metadata leaf per kernel."""
     flat = flatten_dict(variables["params"])
-    int8_bytes = sum(int(np.prod(v.shape)) * bits // 8
+    int8_bytes = sum((int(np.prod(v.shape)) * bits + 7) // 8
+                     + (4 * v.ndim if bits == 4 else 0)
                      for v in flat.values() if v.dtype == jnp.int8)
     float_bytes = sum(int(np.prod(v.shape)) * 4 for v in flat.values()
                       if v.dtype != jnp.int8)

@@ -293,23 +293,30 @@ class Conv2d(nn.Module):
             a_scale = self.variable(
                 "quant", "act_scale",
                 lambda: jnp.ones((), jnp.float32)).value
+            kf = kernel.astype(jnp.float32)
             if a_scale.ndim:
                 # Per-channel act scales (compress/quantize.py
-                # per_channel_act) deploy by FOLDING the vector into the
-                # kernel before the per-out-channel w_scale is computed; this
-                # fake-quant branch quantizes the raw kernel, so simulating a
-                # per-channel tree here would train against a different
-                # rounding grid than requantize() deploys.  Refuse instead of
-                # silently diverging.
-                raise ValueError(
-                    "quant='qat' only supports per-tensor act scales; "
-                    "re-calibrate with per_channel_act=False for QAT")
-            kf = kernel.astype(jnp.float32)
-            w_scale = jax.lax.stop_gradient(jnp.maximum(
-                jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0)
-            y = jax.lax.conv_general_dilated(
-                fake_quant(x, a_scale), fake_quant(kf, w_scale), **conv_kw
-            ).astype(dtype)
+                # per_channel_act, the round-4 production recipe) deploy by
+                # FOLDING the (cin,) vector into the kernel before the
+                # per-out-channel w_scale is computed.  Simulate exactly
+                # that rounding grid: fake-quant x on the per-channel grid,
+                # fake-quant the FOLDED kernel on the deployed w_scale
+                # grid, and cancel the fold analytically
+                # (conv(x/a, K) == conv(x, K/a[cin])) so the gradient
+                # flows through the same STE gates as deployment rounding.
+                av = a_scale[None, None, :, None]
+                kf = kf * av
+                w_scale = jax.lax.stop_gradient(jnp.maximum(
+                    jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0)
+                y = jax.lax.conv_general_dilated(
+                    fake_quant(x, a_scale), fake_quant(kf, w_scale) / av,
+                    **conv_kw).astype(dtype)
+            else:
+                w_scale = jax.lax.stop_gradient(jnp.maximum(
+                    jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0)
+                y = jax.lax.conv_general_dilated(
+                    fake_quant(x, a_scale), fake_quant(kf, w_scale),
+                    **conv_kw).astype(dtype)
         else:
             if kernel.dtype == jnp.int8:
                 raise ValueError(

@@ -195,6 +195,72 @@ inline size_t NumOutputs(PJRT_LoadedExecutable* exec) {
   return noargs.num_outputs;
 }
 
+inline std::vector<int64_t> BufferDims(PJRT_Buffer* b) {
+  PJRT_Buffer_Dimensions_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+  args.buffer = b;
+  Check(Api()->PJRT_Buffer_Dimensions(&args), "Buffer_Dimensions");
+  return std::vector<int64_t>(args.dims, args.dims + args.num_dims);
+}
+
+inline PJRT_Buffer_Type BufferType(PJRT_Buffer* b) {
+  PJRT_Buffer_ElementType_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+  args.buffer = b;
+  Check(Api()->PJRT_Buffer_ElementType(&args), "Buffer_ElementType");
+  return args.type;
+}
+
+// Raw D2H copy of a device buffer (blocking).
+inline std::vector<uint8_t> ReadBuffer(PJRT_Buffer* b) {
+  PJRT_Buffer_ToHostBuffer_Args th;
+  std::memset(&th, 0, sizeof(th));
+  th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  th.src = b;
+  Check(Api()->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer(size)");
+  std::vector<uint8_t> host(th.dst_size);
+  th.dst = host.data();
+  Check(Api()->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer");
+  AwaitEvent(th.event, "D2H");
+  return host;
+}
+
+// D2H + element-wise conversion to float (F32 / BF16 / S32 / PRED-bool).
+inline std::vector<float> ReadBufferAsFloat(PJRT_Buffer* b) {
+  const std::vector<uint8_t> raw = ReadBuffer(b);
+  const PJRT_Buffer_Type t = BufferType(b);
+  std::vector<float> out;
+  if (t == PJRT_Buffer_Type_F32) {
+    out.resize(raw.size() / 4);
+    std::memcpy(out.data(), raw.data(), raw.size());
+  } else if (t == PJRT_Buffer_Type_BF16) {
+    out.resize(raw.size() / 2);
+    for (size_t i = 0; i < out.size(); ++i) {
+      uint32_t bits = static_cast<uint32_t>(
+                          reinterpret_cast<const uint16_t*>(raw.data())[i])
+                      << 16;
+      std::memcpy(&out[i], &bits, 4);
+    }
+  } else if (t == PJRT_Buffer_Type_S32) {
+    out.resize(raw.size() / 4);
+    for (size_t i = 0; i < out.size(); ++i)
+      out[i] = static_cast<float>(
+          reinterpret_cast<const int32_t*>(raw.data())[i]);
+  } else if (t == PJRT_Buffer_Type_PRED || t == PJRT_Buffer_Type_U8 ||
+             t == PJRT_Buffer_Type_S8) {
+    out.resize(raw.size());
+    for (size_t i = 0; i < out.size(); ++i)
+      out[i] = static_cast<float>(raw[i]);
+  } else {
+    std::fprintf(stderr, "ReadBufferAsFloat: unsupported type %d\n",
+                 static_cast<int>(t));
+    std::exit(1);
+  }
+  return out;
+}
+
 inline void DestroyBuffer(PJRT_Buffer* b) {
   if (!b) return;
   PJRT_Buffer_Destroy_Args bd;

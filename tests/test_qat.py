@@ -64,11 +64,24 @@ def _flat_outputs(model, variables, imgs):
                                      level["cls"])])
 
 
-def test_qat_forward_matches_w8a8(qat_setup):
+@pytest.mark.parametrize("per_channel", [False, True],
+                         ids=["per_tensor", "per_channel"])
+def test_qat_forward_matches_w8a8(qat_setup, per_channel):
     """The QAT fake-quant simulation must compute what the deployed int8
     graph computes: requantize the (untouched) float params and compare the
-    qat-model forward against the w8a8-model forward."""
-    variables, quant, imgs = qat_setup
+    qat-model forward against the w8a8-model forward.  per_channel=True is
+    the round-4 production grid (the vector folds into the kernel before
+    per-cout quantization — blocks.py simulates exactly that fold)."""
+    variables, _, imgs = qat_setup
+    calib = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        quant="calib")
+    quant = build_quant_tree(calibrate(calib, variables, [imgs]),
+                             per_channel_act=per_channel)
+    if per_channel:
+        from flax.traverse_util import flatten_dict
+        assert any(getattr(v, "ndim", 0)
+                   for p, v in flatten_dict(quant).items()
+                   if p[-1] == "act_scale"), "no vector scales calibrated"
     qat_m = build_model("yolox-p6", depth=D, width=W, fused=True,
                         quant="qat")
     sim = _flat_outputs(qat_m, {"params": variables["params"],
@@ -136,18 +149,36 @@ def test_requantize_report(qat_setup):
     assert preds and all(v.dtype != jnp.int8 for v in preds.values())
 
 
-def test_qat_rejects_per_channel_act_scales(qat_setup):
-    """QAT's fake-quant simulates the per-TENSOR deployment grid; a
-    per-channel quant tree (compress/quantize.py per_channel_act) deploys by
-    folding the vector into the kernel, which the simulation does not model.
-    Both the forward (models/blocks.py) and requantize() must refuse."""
-    variables, quant, imgs = qat_setup
-    quant_vec = jax.tree_util.tree_map(
-        lambda v: jnp.ones((4,), jnp.float32) if v.ndim == 0 else v, quant)
-    qat_model = build_model("yolox-p6", depth=D, width=W, fused=True,
-                            quant="qat")
-    with pytest.raises(ValueError, match="per-tensor"):
-        qat_model.apply({"params": variables["params"],
-                         "quant": quant_vec}, imgs)
-    with pytest.raises(ValueError, match="per-channel"):
-        requantize(variables["params"], quant_vec)
+def test_qat_step_descends_per_channel(qat_setup):
+    """The QAT step runs on the per-channel production grid (round 4:
+    blocks.py quant='qat' folds the act-scale vector exactly like
+    quantize_weights, so QAT can now train the deployed numerics)."""
+    variables, _, imgs = qat_setup
+    calib = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        quant="calib")
+    quant = build_quant_tree(calibrate(calib, variables, [imgs]),
+                             per_channel_act=True)
+    qat_m = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        quant="qat")
+    labels = jnp.tile(
+        jnp.asarray([[[1.0, 32.0, 32.0, 16.0, 16.0]] + [[0.0] * 5] * 4]),
+        (2, 1, 1))
+    tx = optax.sgd(1e-4, momentum=0.9, nesterov=True)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    step = make_qat_step(qat_m, tx, strides=(8, 16, 32, 64),
+                         num_classes=80, ema_decay=0.9, donate=False)
+    from cocodet_tpu.utils.ema import EMAState, ema_init
+
+    ema = ema_init(params)
+    ema = EMAState(shadow=ema.shadow, updates=jnp.asarray(50_000, jnp.int32))
+    losses = []
+    for _ in range(3):
+        params, opt_state, ema, metrics = step(params, opt_state, ema,
+                                               quant, imgs, labels)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # and the result requantizes onto the deployed format without error
+    int8_params, quant_full = requantize(params, quant)
+    assert any(v.dtype == jnp.int8
+               for v in jax.tree_util.tree_leaves(int8_params))

@@ -210,6 +210,47 @@ def test_int4_pack_roundtrip():
         unpack_int4_tree(tree)["a"]["kernel"], tree["a"]["kernel"])
 
 
+def test_int4_pack_declared_paths_and_corruption():
+    """ADVICE r3: explicit kernel_paths makes the on-disk format declared
+    (a nibble-range w8a8 leaf stays unpacked unless named); declared
+    non-nibble leaves are an error; corrupt packed trees fail loudly."""
+    import pytest
+
+    from cocodet_tpu.compress import pack_int4_tree, unpack_int4_tree
+    from cocodet_tpu.compress.quantize import tree_has_int4
+
+    rs = np.random.RandomState(4)
+    tree = {
+        "q4": {"kernel": rs.randint(-8, 8, (3, 3, 4, 8)).astype(np.int8)},
+        # nibble-range BY ACCIDENT — must stay unpacked when not declared
+        "w8_lucky": {"kernel": rs.randint(-3, 4, (2, 2)).astype(np.int8)},
+    }
+    packed = pack_int4_tree(tree, kernel_paths={("q4", "kernel")})
+    assert "__int4_packed__" in packed["q4"]["kernel"]
+    np.testing.assert_array_equal(packed["w8_lucky"]["kernel"],
+                                  tree["w8_lucky"]["kernel"])
+    out = unpack_int4_tree(packed)
+    np.testing.assert_array_equal(out["q4"]["kernel"], tree["q4"]["kernel"])
+
+    # declaring a full-range leaf as int4 is an error, not silent damage
+    bad = {"k": rs.randint(-127, 128, (8,)).astype(np.int8)}
+    bad["k"].flat[0] = 127
+    with pytest.raises(ValueError, match="nibble-range"):
+        pack_int4_tree(bad, kernel_paths={("k",)})
+
+    # truncated checkpoint: data without its shape sibling
+    corrupt = {"q4": {"kernel": {
+        "__int4_packed__": packed["q4"]["kernel"]["__int4_packed__"]}}}
+    with pytest.raises(ValueError, match="corrupt int4"):
+        unpack_int4_tree(corrupt)
+    # orphan shape leaf
+    corrupt2 = {"q4": {"kernel": {
+        "__int4_shape__": packed["q4"]["kernel"]["__int4_shape__"]}}}
+    with pytest.raises(ValueError, match="orphan"):
+        unpack_int4_tree(corrupt2)
+    assert tree_has_int4(packed)
+
+
 def test_w4a8_forward_close(fused_setup):
     """bits=4 (w4a8): kernels land on the [-7, 7] nibble grid, ride the
     SAME w8a8 runtime graph, and stay reasonably close to the float model
@@ -230,7 +271,11 @@ def test_w4a8_forward_close(fused_setup):
 
     rep = quantization_report(qvars, bits=4)
     assert rep["weight_bits"] == 4
-    assert rep["int8_bytes"] * 2 == quantization_report(qvars)["int8_bytes"]
+    # bits=4 accounting matches pack_int4_tree exactly: ceil(n/2) packed
+    # data bytes + the int32 shape-metadata leaf per kernel (ADVICE r3).
+    expected = sum((k.size + 1) // 2 + 4 * k.ndim for k in kernels)
+    assert rep["int8_bytes"] == expected
+    assert rep["int8_bytes"] < quantization_report(qvars)["int8_bytes"]
 
     ref = _flat_outputs(fused, variables, imgs)
     got = _flat_outputs(q, qvars, imgs)

@@ -45,6 +45,14 @@ def make_parser():
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--calib-batches", type=int, default=4)
+    p.add_argument("--act-scales", choices=["tensor", "channel"],
+                   default="channel",
+                   help="activation-scale granularity.  'channel' (the "
+                        "round-4 production PTQ recipe) trains against the "
+                        "deployed per-channel fold grid (models/blocks.py "
+                        "quant='qat' folds the vector exactly like "
+                        "quantize_weights); 'tensor' reproduces the "
+                        "round-3 QAT study grid.")
     p.add_argument("--ema-decay", type=float, default=0.999,
                    help="deploy an EMA shadow of the params instead of the "
                         "raw SGD iterate (0 disables). Slim checkpoints are "
@@ -128,7 +136,8 @@ def main():
     logger.info("calibrating on %d batches of %s", len(calib_imgs),
                 tuple(calib_imgs[0].shape))
     quant = build_quant_tree(
-        calibrate(calib_model, {"params": params}, calib_imgs))
+        calibrate(calib_model, {"params": params}, calib_imgs),
+        per_channel_act=args.act_scales == "channel")
 
     # constant low LR + momentum: the reference's recovery-tune pattern
     # (phase-2 tune LR scaled way down, ROADMAP gentle-surgery finding:

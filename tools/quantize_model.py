@@ -58,8 +58,8 @@ def make_parser():
                         "production recipe — throughput-neutral on the v5e "
                         "(2587.9 vs 2575.5 img/s) and recovers 70%% of the "
                         "int8 AP50 loss (0.7892 vs 0.7874, bf16 0.7900).  "
-                        "'tensor' is the round-3 recipe (and the only one "
-                        "QAT can fine-tune).")
+                        "'tensor' is the round-3 recipe.  QAT "
+                        "(tools/qat_tune.py) fine-tunes either grid.")
     p.add_argument("--bits", type=int, choices=[8, 4], default=8,
                    help="weight storage width.  8 = w8a8 (production).  "
                         "4 = w4a8: kernels quantized to [-7, 7] and nibble-"
@@ -138,9 +138,17 @@ def main():
 
     out_params = qvars["params"]
     if args.bits == 4:
+        from flax.traverse_util import flatten_dict
         from cocodet_tpu.compress import pack_int4_tree
+        # Declare the packed set explicitly (the kernels quantize_weights
+        # touched = one per w_scale in the quant collection) so the
+        # on-disk format follows --bits, not the data's value range.
+        kernel_paths = {p[:-1] + ("kernel",)
+                        for p in flatten_dict(qvars["quant"])
+                        if p[-1] == "w_scale"}
         out_params = pack_int4_tree(
-            jax.tree_util.tree_map(np.asarray, out_params))
+            jax.tree_util.tree_map(np.asarray, out_params),
+            kernel_paths=kernel_paths)
     state = jax.tree_util.tree_map(
         np.asarray, serialization.to_state_dict(
             {"params": out_params, "quant": qvars["quant"]}))

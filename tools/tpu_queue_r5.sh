@@ -1,14 +1,17 @@
 #!/bin/bash
 # Round-5 TPU queue — regenerate the chain artifacts (outputs/ is wiped
-# between sessions) and land the two open accuracy frontiers:
+# between sessions) and land the open accuracy frontiers, in value order
+# (an early abort still harvests the top items):
 #   1. chainB_t30: doubled recovery tune at the QUALITY point (24ch ->
 #      86.3% params).  chainC_t30 showed the cliff is partly tune-budget-
 #      limited (+1.5 AP50 from 15 -> 30 tune epochs at 80.4% params);
 #      chainB's 15-epoch tune saturated at 0.8827 vs dense 0.8961 — if
 #      the same dose-response holds, this closes most of the last gap.
-#   2. w4a8 accuracy: int4-weight PTQ (tools/quantize_model.py --bits 4)
-#      on the chainB slim artifact vs the w8a8 per-channel production
-#      recipe vs bf16 — the datapoint the round-4 capability work needs.
+#   2. w4a8 vs w8a8 vs bf16 accuracy on the chainB_t30 slim artifact —
+#      the datapoint the round-4 capability work needs (VERDICT #1).
+#   3. Recovery-budget sweep across the frontier (VERDICT #2): tune
+#      epochs 15/30/60 and distill coefficient at the 80.4%-param
+#      (chainC 32ch) and 60.1%-param (40ch default) points.
 # Same serialization rules as r4 queues: single TPU client, probe 8093
 # between jobs.
 set -u
@@ -34,6 +37,10 @@ run_job() {
   return 0
 }
 
+# require NAME: skip the next job unless NAME finished ok (prevents a
+# doomed downstream run after an upstream failure).
+require() { [ -e "outputs/logs/$1.done" ]; }
+
 # 0. Driver bench gate first — the one hard deliverable.
 run_job bench_gate timeout 1500 python bench.py
 
@@ -44,6 +51,7 @@ run_job r5_chain timeout 10800 python tools/run_pipeline.py --synth \
   --out outputs/r5_chain
 
 # 2. chainB: the quality point (prune stage only; reproduces 0.8827).
+require r5_chain && \
 run_job r5_chainB timeout 7200 python tools/run_pipeline.py --synth \
   --synth-epochs 30 --synth-size 320 --synth-images 512 \
   --start-stage prune --init-from outputs/r5_chain \
@@ -51,6 +59,7 @@ run_job r5_chainB timeout 7200 python tools/run_pipeline.py --synth \
   --out outputs/r5_chainB
 
 # 3. chainB_t30: doubled recovery tune from chainB's prune ckpt.
+require r5_chainB && \
 run_job r5_chainB_t30 timeout 7200 python tools/run_pipeline.py --synth \
   --synth-epochs 30 --synth-size 320 --synth-images 512 \
   --start-stage tune --init-from outputs/r5_chainB \
@@ -58,18 +67,78 @@ run_job r5_chainB_t30 timeout 7200 python tools/run_pipeline.py --synth \
   --out outputs/r5_chainB_t30
 
 # 4. w4a8 vs w8a8 vs bf16 accuracy on the chainB_t30 slim artifact
-#    (CPU-forced evals; can also run via acc_queue_r4.sh for the int8
-#    pair).  The w4a8 ckpt is nibble-packed — load_checkpoint unpacks.
-run_job w4a8_quant python tools/quantize_model.py --cpu \
+#    (CPU-forced evals).  The w4a8 ckpt is nibble-packed —
+#    load_checkpoint unpacks transparently; graph stays w8a8.
+require r5_chainB_t30 && \
+run_job w4a8_quant timeout 3600 python tools/quantize_model.py --cpu \
   -c outputs/r5_chainB_t30/pipe_slim_ckpt.msgpack \
   --slim-spec outputs/r5_chainB_t30/pipe_slim_spec.json \
   --depth 0.33 --width 0.25 --synth --img-size 320 \
   --act-scales channel --bits 4 \
   -o outputs/r5_chainB_t30/acc/w4a8.msgpack
-run_job w4a8_eval python tools/eval_harness_ckpt.py --cpu \
+require w4a8_quant && \
+run_job w4a8_eval timeout 3600 python tools/eval_harness_ckpt.py --cpu \
   -c outputs/r5_chainB_t30/acc/w4a8.msgpack \
   --slim-spec outputs/r5_chainB_t30/pipe_slim_spec.json \
   --depth 0.33 --width 0.25 --quant w8a8 \
   --data-dir /tmp/cocodet_synth_coco --img-size 320
+require r5_chainB_t30 && \
+run_job w8a8_quant_bt30 timeout 3600 python tools/quantize_model.py --cpu \
+  -c outputs/r5_chainB_t30/pipe_slim_ckpt.msgpack \
+  --slim-spec outputs/r5_chainB_t30/pipe_slim_spec.json \
+  --depth 0.33 --width 0.25 --synth --img-size 320 \
+  --act-scales channel --bits 8 \
+  -o outputs/r5_chainB_t30/acc/w8a8.msgpack
+require w8a8_quant_bt30 && \
+run_job w8a8_eval_bt30 timeout 3600 python tools/eval_harness_ckpt.py --cpu \
+  -c outputs/r5_chainB_t30/acc/w8a8.msgpack \
+  --slim-spec outputs/r5_chainB_t30/pipe_slim_spec.json \
+  --depth 0.33 --width 0.25 --quant w8a8 \
+  --data-dir /tmp/cocodet_synth_coco --img-size 320
+
+# 5. Frontier recovery-budget sweep (VERDICT #2).  chainC = the
+#    80.4%-param point (32ch/event); t15 scored 0.8128, t30 0.8281 —
+#    t60 + distill-coef probe ask whether longer recovery closes to
+#    within ~3 AP50 of dense (0.8961).
+require r5_chain && \
+run_job r5_chainC timeout 7200 python tools/run_pipeline.py --synth \
+  --synth-epochs 30 --synth-size 320 --synth-images 512 \
+  --start-stage prune --init-from outputs/r5_chain \
+  --prune-set prune_channels 32 \
+  --out outputs/r5_chainC
+
+require r5_chainC && \
+run_job r5_chainC_t60 timeout 10800 python tools/run_pipeline.py --synth \
+  --synth-epochs 30 --synth-size 320 --synth-images 512 \
+  --start-stage tune --init-from outputs/r5_chainC \
+  --tune-set max_epoch 60 \
+  --out outputs/r5_chainC_t60
+
+# 6. The 60.1%-param point (40ch default): does the dose-response hold
+#    at the deep-compression end (t15 = 0.7900)?
+require r5_chain && \
+run_job r5_chain40_t30 timeout 7200 python tools/run_pipeline.py --synth \
+  --synth-epochs 30 --synth-size 320 --synth-images 512 \
+  --start-stage tune --init-from outputs/r5_chain \
+  --tune-set max_epoch 30 \
+  --out outputs/r5_chain40_t30
+
+# 7. Distill-coefficient probe at the 80.4% point: same 30-epoch budget
+#    as chainC_t30 (0.8281) but coef 2.0 — separates "more gradient
+#    steps" from "stronger teacher pull".
+require r5_chainC && \
+run_job r5_chainC_t30d2 timeout 7200 python tools/run_pipeline.py --synth \
+  --synth-epochs 30 --synth-size 320 --synth-images 512 \
+  --start-stage tune --init-from outputs/r5_chainC \
+  --tune-set max_epoch 30 distill_coefficient 2.0 \
+  --out outputs/r5_chainC_t30d2
+
+# 8. Deep end, doubled again.
+require r5_chain && \
+run_job r5_chain40_t60 timeout 10800 python tools/run_pipeline.py --synth \
+  --synth-epochs 30 --synth-size 320 --synth-images 512 \
+  --start-stage tune --init-from outputs/r5_chain \
+  --tune-set max_epoch 60 \
+  --out outputs/r5_chain40_t60
 
 echo "== QUEUE R5 COMPLETE $(date -u)" | tee -a outputs/logs/queue.log
