@@ -483,6 +483,28 @@ def run_onnx(model: OnnxModel, inputs: Dict[str, np.ndarray]
             out = np.where(x >= 0, x, node.attrs.get("alpha", 0.01) * x)
         elif t == "Identity":
             out = vals[i[0]]
+        elif t == "Round":
+            # ONNX Round = round-half-to-even (matches numpy / jnp.round)
+            out = np.round(vals[i[0]])
+        elif t == "Expand":
+            out = vals[i[0]] * np.ones(
+                tuple(int(s) for s in vals[i[1]]), vals[i[0]].dtype) \
+                if vals[i[0]].dtype != np.bool_ else np.broadcast_to(
+                    vals[i[0]], tuple(int(s) for s in vals[i[1]])).copy()
+        elif t == "Min":
+            out = vals[i[0]]
+            for n in i[1:]:
+                out = np.minimum(out, vals[n])
+        elif t == "Max":
+            out = vals[i[0]]
+            for n in i[1:]:
+                out = np.maximum(out, vals[n])
+        elif t == "Neg":
+            out = -vals[i[0]]
+        elif t == "Sign":
+            out = np.sign(vals[i[0]])
+        elif t == "Where":
+            out = np.where(vals[i[0]], vals[i[1]], vals[i[2]])
         else:
             raise NotImplementedError(f"ONNX op {t} ({node.name})")
         vals[node.outputs[0]] = out
