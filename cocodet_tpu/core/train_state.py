@@ -60,6 +60,7 @@ def make_train_step(
     use_ema: bool = True,
     donate: bool = True,
     remat: bool = False,
+    simota_bf16: bool = False,
 ) -> Callable:
     """Build the jitted train step. ``use_l1`` is a static argument — the
     no-aug phase recompiles once when it flips (ref trainer.py:219-228).
@@ -70,6 +71,11 @@ def make_train_step(
     labels (G=120) the b128 step's 14.7G program exceeds the 16G v5e
     (ROADMAP.md "device-mosaic memory envelope") — remat buys the
     batch-size headroom back on memory-bound operating points.
+
+    simota_bf16: compute the SimOTA (B, G, A) cost/IoU matrices in bf16
+    (see ops/simota.assign_single) — an approximation of the label
+    ASSIGNMENT only (stop-gradient region, targets stay f32), targeting
+    the loss stage's HBM traffic.  Default off = exact reference math.
     """
 
     @functools.partial(jax.jit, static_argnames=("use_l1",),
@@ -90,7 +96,8 @@ def make_train_step(
             outputs, mutated = apply_fn(params, images)
             losses, _ = yolox_losses(
                 outputs, labels, strides=strides, num_classes=num_classes,
-                use_l1=use_l1, iou_type=iou_type)
+                use_l1=use_l1, iou_type=iou_type,
+                simota_dtype=jnp.bfloat16 if simota_bf16 else jnp.float32)
             return losses.total, (losses, mutated.get("batch_stats", {}))
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(

@@ -128,7 +128,8 @@ class Trainer:
             self.model, self.optimizer_tx, strides=exp.strides,
             num_classes=exp.num_classes, iou_type=exp.iou_type,
             ema_decay=exp.ema_momentum, use_ema=exp.ema,
-            remat=getattr(exp, "remat", False))
+            remat=getattr(exp, "remat", False),
+            simota_bf16=getattr(exp, "simota_bf16", False))
 
         self.evaluator = exp.get_evaluator(
             batch_size=batch_size, is_distributed=jax.process_count() > 1)

@@ -193,15 +193,24 @@ def _draw_occluders(cv2, rs, img: np.ndarray, boxes: list, n: int) -> None:
 # visible where real COCO is unavailable)
 VARIANTS = {
     # (max-IoU between instances, scale log-range, objects multiplier,
-    #  occluders per image, textured instances)
-    "default":   (0.30, (0.08, 0.45), 1.0, 0, False),
-    "occlusion": (0.50, (0.08, 0.45), 1.0, 3, False),
-    "crowding":  (0.45, (0.05, 0.22), 3.0, 0, False),
-    "texture":   (0.30, (0.08, 0.45), 1.0, 0, True),
+    #  occluders per image, textured instances, photometric gain range)
+    "default":   (0.30, (0.08, 0.45), 1.0, 0, False, None),
+    "occlusion": (0.50, (0.08, 0.45), 1.0, 3, False, None),
+    "crowding":  (0.45, (0.05, 0.22), 3.0, 0, False, None),
+    "texture":   (0.30, (0.08, 0.45), 1.0, 0, True, None),
+    # smallobj: every instance in the P3-receptive-field tail (7-50 px) at
+    # 2x density — the axis channel pruning classically damages first
+    # (narrow high-resolution FPN levels carry the small-object signal)
+    "smallobj":  (0.30, (0.03, 0.10), 2.0, 0, False, None),
+    # lowlight: global gain crush to 25-50% after composition — objectness
+    # and color-bucket classification at compressed dynamic range
+    "lowlight":  (0.30, (0.08, 0.45), 1.0, 0, False, (0.25, 0.5)),
     # robustness-training mix: each image drawn from one of the four
-    # axes above, so one training run sees occluders, 3x density AND
+    # ORIGINAL axes, so one training run sees occluders, 3x density AND
     # textured instances (the val sets stay single-variant for clean
-    # per-axis measurement)
+    # per-axis measurement).  smallobj/lowlight are deliberately NOT in
+    # the mix: the mix's composition is pinned so chain_mixed results
+    # stay comparable across rounds — they are held-out eval-only axes.
     "mixed": None,
 }
 
@@ -234,7 +243,7 @@ def make_synthetic_coco(root: str, n_train: int = 256, n_val: int = 64,
             img_variant = (_MIX[int(rs.randint(len(_MIX)))]
                            if variant == "mixed" else variant)
             (max_iou, scale_rng, obj_mult, n_occluders,
-             textured) = VARIANTS[img_variant]
+             textured, photometric) = VARIANTS[img_variant]
             max_objects = max(int(base_max_objects * obj_mult), 1)
             h = int(rs.randint(size_range[0], size_range[1] + 1))
             w = int(rs.randint(size_range[0], size_range[1] + 1))
@@ -264,6 +273,13 @@ def make_synthetic_coco(root: str, n_train: int = 256, n_val: int = 64,
             if n_occluders and existing:
                 _draw_occluders(cv2, rs, img, existing,
                                 int(rs.randint(1, n_occluders + 1)))
+            if photometric is not None:
+                # rs draws gated on the variant so the draw SEQUENCE of
+                # every pre-existing variant is untouched (the chain
+                # pipeline's bit-determinism depends on it)
+                g = float(rs.uniform(*photometric))
+                img = np.clip(img.astype(np.float32) * g,
+                              0, 255).astype(np.uint8)
             # final global noise so object edges aren't perfectly clean
             noise = rs.normal(0, 4, size=img.shape)
             img = np.clip(img.astype(np.float32) + noise,

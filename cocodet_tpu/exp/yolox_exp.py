@@ -94,6 +94,11 @@ class Exp(BaseExp):
         # (enables e.g. b128@640 with mosaic-density labels on a 16G v5e,
         # see ROADMAP.md "device-mosaic memory envelope")
         self.remat = False
+        # simota_bf16: bf16 SimOTA cost/IoU matrices (assignment-only
+        # approximation, targets stay f32 — ops/simota.py).  Halves the
+        # (B, G, A) HBM traffic of the loss stage; off by default until
+        # the TPU A/B shows it pays (tools/bench_train.py --simota-bf16)
+        self.simota_bf16 = False
         # spatial_devices: columns of a 2-D (data, space) training mesh —
         # shards image HEIGHT over the second axis (GSPMD conv halos) so
         # activation memory scales out across chips; 1 = plain DP

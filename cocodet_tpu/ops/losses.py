@@ -52,6 +52,7 @@ def yolox_losses(
     use_l1: bool = False,
     iou_type: str = "iou",
     reg_weight: float = 5.0,
+    simota_dtype=jnp.float32,
 ) -> Tuple[DetectionLosses, SimOTATargets]:
     """Full YOLOX training loss from raw NHWC head maps.
 
@@ -69,7 +70,7 @@ def yolox_losses(
 
     tgt = simota_assign(
         labels, bbox_preds, cls_logits, obj_logits, centers, stride_vec,
-        num_classes)
+        num_classes, compute_dtype=simota_dtype)
 
     num_fg = jnp.maximum(tgt.num_fg, 1.0)
     fg = tgt.fg_mask.astype(jnp.float32)

@@ -85,10 +85,21 @@ def assign_single(
     strides: jnp.ndarray,      # (A,)
     num_classes: int,
     center_radius: float = 2.5,
+    compute_dtype=jnp.float32,
 ):
-    """SimOTA for one image. Returns per-anchor targets + counters."""
+    """SimOTA for one image. Returns per-anchor targets + counters.
+
+    compute_dtype: dtype for the (G, A) cost/IoU matrices and the top-k
+    scans over them — the HBM-traffic bulk of the assignment.  bf16 here
+    halves that traffic; it only perturbs WHICH anchors are selected
+    (IoU rel-err ~0.4% can flip a near-tie rank or a dynamic_k truncation
+    boundary), never the gradient numerics: assignment is a stop-gradient
+    region and every emitted target (cls/reg/l1) is built from the
+    original f32 boxes.  Default f32 = exact reference parity.
+    """
     g = labels.shape[0]
     a = pred_boxes.shape[0]
+    cdt = compute_dtype
 
     gt_valid = jnp.sum(labels, axis=1) > 0          # ref nlabel (yolo_head.py:253)
     gt_cls = labels[:, 0].astype(jnp.int32)
@@ -115,34 +126,37 @@ def assign_single(
     in_both = in_box & in_center
 
     # ---- pairwise IoU over candidates (ref yolo_head.py:441) ----
-    iou = pairwise_iou(gt_box, pred_boxes, xyxy=False)       # (G, A)
-    iou_cand = jnp.where(candidate[None, :] & gt_valid[:, None], iou, 0.0)
+    iou = pairwise_iou(gt_box.astype(cdt), pred_boxes.astype(cdt),
+                       xyxy=False)                           # (G, A) cdt
+    iou_cand = jnp.where(candidate[None, :] & gt_valid[:, None], iou,
+                         jnp.zeros((), cdt))
 
     # ---- classification cost without the (G,A,C) intermediate ----
     sp = jnp.sqrt(
         jax.nn.sigmoid(cls_logits.astype(jnp.float32))
         * jax.nn.sigmoid(obj_logits.astype(jnp.float32))
-    )  # (A, C)
+    )  # (A, C) — f32: sqrt(sigmoid*sigmoid) underflows in bf16 tails
     log_p, log_1p = _binary_cross_entropy_terms(sp)
-    s_all = jnp.sum(log_1p, axis=-1)                          # (A,)
-    gathered_p = log_p[:, gt_cls].T                           # (G, A)
-    gathered_1p = log_1p[:, gt_cls].T                         # (G, A)
-    cost_cls = -(gathered_p) + gathered_1p - s_all[None, :]
+    s_all = jnp.sum(log_1p, axis=-1)                          # (A,) f32
+    gathered_p = log_p.astype(cdt)[:, gt_cls].T               # (G, A) cdt
+    gathered_1p = log_1p.astype(cdt)[:, gt_cls].T             # (G, A) cdt
+    cost_cls = -(gathered_p) + gathered_1p - s_all.astype(cdt)[None, :]
 
-    cost_iou = -jnp.log(iou + 1e-8)
+    cost_iou = -jnp.log(iou.astype(jnp.float32) + 1e-8).astype(cdt)
     cost = (
         cost_cls
-        + 3.0 * cost_iou
-        + _BIG * (~in_both)
-        + _INF * (~candidate[None, :])
-        + _INF * (~gt_valid[:, None])
+        + jnp.asarray(3.0, cdt) * cost_iou
+        + jnp.asarray(_BIG, cdt) * (~in_both)
+        + jnp.asarray(_INF, cdt) * (~candidate[None, :])
+        + jnp.asarray(_INF, cdt) * (~gt_valid[:, None])
     )
 
     # ---- dynamic-k (ref dynamic_k_matching, yolo_head.py:561-575) ----
     k_cap = min(10, a)
     topk_iou, _ = _topk_small(iou_cand, k_cap)
     dynamic_k = jnp.maximum(
-        jnp.sum(topk_iou, axis=1).astype(jnp.int32), 1)       # (G,)
+        jnp.sum(topk_iou.astype(jnp.float32), axis=1).astype(jnp.int32),
+        1)                                                    # (G,)
 
     # dynamic_k = int(sum of top-10 IoUs) <= 10 by construction, so the
     # k-smallest-cost selection only ever needs the 10 best anchors per
@@ -166,7 +180,9 @@ def assign_single(
 
     fg = jnp.any(matched, axis=0)                             # (A,)
     matched_gt = jnp.argmax(matched, axis=0)                  # (A,)
-    pred_iou = jnp.sum(jnp.where(matched, iou, 0.0), axis=0)  # (A,)
+    pred_iou = jnp.sum(
+        jnp.where(matched, iou, jnp.zeros((), cdt)), axis=0
+    ).astype(jnp.float32)                                     # (A,)
 
     # ---- targets (ref yolo_head.py:330-346) ----
     cls_t = (
@@ -195,13 +211,19 @@ def simota_assign(
     strides: jnp.ndarray,      # (A,)
     num_classes: int,
     center_radius: float = 2.5,
+    compute_dtype=jnp.float32,
 ) -> SimOTATargets:
     """Batched SimOTA. All inputs are stop-gradiented internally (the
-    reference runs assignment under torch.no_grad, yolo_head.py:390-391)."""
+    reference runs assignment under torch.no_grad, yolo_head.py:390-391).
+
+    compute_dtype: see assign_single — bf16 halves the (B, G, A) cost/IoU
+    HBM traffic (the assignment is ~the whole loss-stage cost at b128);
+    emitted targets stay f32 either way."""
     sg = jax.lax.stop_gradient
     fg, cls_t, reg_t, l1_t, num_fg, num_gt = jax.vmap(
         lambda l, b, c, o: assign_single(
-            l, b, c, o, centers, strides, num_classes, center_radius)
+            l, b, c, o, centers, strides, num_classes, center_radius,
+            compute_dtype=compute_dtype)
     )(sg(labels), sg(pred_boxes), sg(cls_logits), sg(obj_logits))
     return SimOTATargets(
         fg_mask=fg,

@@ -206,6 +206,43 @@ def test_simota_assigns_center_anchor():
     assert np.isfinite(float(losses.total))
 
 
+def test_simota_bf16_agreement():
+    """simota_dtype=bf16 (the HBM-traffic lever, ops/simota.py) must make
+    near-identical assignments to f32 on a realistic random scene: it only
+    coarsens cost/IoU VALUES, never the selection logic, so disagreement
+    is limited to genuine near-ties.  Targets stay f32 either way."""
+    rng = np.random.RandomState(7)
+    b, hw, c = 2, 16, 8
+    preds = {"reg": jnp.asarray(rng.randn(b, hw, hw, 4), jnp.float32),
+             "obj": jnp.asarray(rng.randn(b, hw, hw, 1), jnp.float32),
+             "cls": jnp.asarray(rng.randn(b, hw, hw, c), jnp.float32)}
+    labels = np.zeros((b, 12, 5), np.float32)
+    for i in range(b):
+        n = rng.randint(4, 12)
+        labels[i, :n, 0] = rng.randint(0, c, n)
+        labels[i, :n, 1:3] = rng.uniform(16, hw * 8 - 16, (n, 2))
+        labels[i, :n, 3:5] = rng.uniform(8, 48, (n, 2))
+    labels = jnp.asarray(labels)
+
+    out = {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        losses, tgt = yolox_losses([preds], labels, strides=(8,),
+                                   num_classes=c, simota_dtype=dt)
+        out[name] = (losses, tgt)
+        assert tgt.cls_target.dtype == jnp.float32
+        assert tgt.reg_target.dtype == jnp.float32
+        assert np.isfinite(float(losses.total))
+
+    fg32 = np.asarray(out["f32"][1].fg_mask)
+    fgbf = np.asarray(out["bf16"][1].fg_mask)
+    agree = (fg32 == fgbf).mean()
+    assert agree >= 0.995, f"fg agreement {agree}"
+    n32, nbf = float(out["f32"][1].num_fg), float(out["bf16"][1].num_fg)
+    assert abs(n32 - nbf) <= max(2.0, 0.05 * n32)
+    l32, lbf = float(out["f32"][0].total), float(out["bf16"][0].total)
+    assert abs(l32 - lbf) / l32 < 0.05
+
+
 def test_losses_no_gt():
     preds = {"reg": jnp.zeros((2, 4, 4, 4)),
              "obj": jnp.zeros((2, 4, 4, 1)),

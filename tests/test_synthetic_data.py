@@ -68,6 +68,51 @@ def test_variants(tmp_path):
     assert stats["crowding"] > 1.5 * stats["default"]
 
 
+def test_new_variants_smallobj_lowlight(tmp_path):
+    """The held-out eval axes added in round 4: smallobj keeps every box in
+    the P3 tail; lowlight crushes global brightness.  Both must stay OUT of
+    the 'mixed' training composition (chain_mixed cross-round
+    comparability), which test_variants pins implicitly via _MIX."""
+    import cv2
+
+    from cocodet_tpu.data.synthetic import _MIX, make_synthetic_coco
+
+    assert set(_MIX) == {"default", "occlusion", "crowding", "texture"}
+
+    roots = {}
+    for variant in ("default", "smallobj", "lowlight"):
+        roots[variant] = make_synthetic_coco(
+            str(tmp_path / variant), n_train=10, n_val=2,
+            size_range=(192, 256), seed=11, variant=variant)
+
+    def load(variant):
+        with open(os.path.join(roots[variant], "annotations",
+                               "instances_train2017.json")) as f:
+            return json.load(f)
+
+    # smallobj: every box side below ~12% of the (min) image side, and
+    # denser than default
+    d_small, d_def = load("smallobj"), load("default")
+    assert d_small["annotations"]
+    by_img = {im["id"]: im for im in d_small["images"]}
+    for ann in d_small["annotations"]:
+        im = by_img[ann["image_id"]]
+        lim = 0.20 * min(im["width"], im["height"])  # 0.10 scale * ar jitter
+        assert ann["bbox"][2] <= lim and ann["bbox"][3] <= lim, ann
+    assert (len(d_small["annotations"]) / len(d_small["images"])
+            > len(d_def["annotations"]) / len(d_def["images"]))
+
+    # lowlight: mean brightness well below default's
+    def mean_brightness(variant, d):
+        vals = [cv2.imread(os.path.join(roots[variant], "train2017",
+                                        im["file_name"])).mean()
+                for im in d["images"]]
+        return float(np.mean(vals))
+
+    assert mean_brightness("lowlight", load("lowlight")) \
+        < 0.65 * mean_brightness("default", d_def)
+
+
 def test_deterministic(synth_root, tmp_path):
     from cocodet_tpu.data.synthetic import make_synthetic_coco
 

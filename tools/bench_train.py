@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the model forward (memory-bound "
                          "operating points, e.g. b128@640 with G=120)")
+    ap.add_argument("--simota-bf16", action="store_true",
+                    help="bf16 SimOTA cost matrices (assignment-only "
+                         "approximation — ops/simota.py)")
     ap.add_argument("--loader", metavar="DATA_DIR", default=None,
                     help="end-to-end mode: pull real batches through "
                          "exp.get_data_loader + DevicePrefetcher and "
@@ -97,7 +100,8 @@ def main():
 
     state = create_train_state(model, tx, rng, imgs[:1])
     step = make_train_step(model, tx, strides=(8, 16, 32, 64),
-                           num_classes=80, remat=args.remat)
+                           num_classes=80, remat=args.remat,
+                           simota_bf16=args.simota_bf16)
 
     # Sync discipline: under this TPU's remote tunnel,
     # jax.block_until_ready() can return before the device actually
@@ -162,7 +166,8 @@ def _bench_with_loader(args, model, tx, rng):
     imgs, labels = next_batch()
     state = create_train_state(model, tx, rng, imgs[:1])
     step = make_train_step(model, tx, strides=(8, 16, 32, 64),
-                           num_classes=exp.num_classes, remat=args.remat)
+                           num_classes=exp.num_classes, remat=args.remat,
+                           simota_bf16=args.simota_bf16)
 
     t0 = time.perf_counter()
     state, metrics = step(state, imgs, labels, use_l1=False)

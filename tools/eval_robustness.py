@@ -23,7 +23,8 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "harness"))
 
-VARIANTS = ("default", "occlusion", "crowding", "texture")
+VARIANTS = ("default", "occlusion", "crowding", "texture",
+            "smallobj", "lowlight")
 
 
 def variant_root(variant: str, n_val: int, size: int, seed: int) -> str:
