@@ -66,35 +66,9 @@ run_job r5_chainB_t30 timeout 7200 python tools/run_pipeline.py --synth \
   --tune-set max_epoch 30 \
   --out outputs/r5_chainB_t30
 
-# 4. w4a8 vs w8a8 vs bf16 accuracy on the chainB_t30 slim artifact
-#    (CPU-forced evals).  The w4a8 ckpt is nibble-packed —
-#    load_checkpoint unpacks transparently; graph stays w8a8.
-require r5_chainB_t30 && \
-run_job w4a8_quant timeout 3600 python tools/quantize_model.py --cpu \
-  -c outputs/r5_chainB_t30/pipe_slim_ckpt.msgpack \
-  --slim-spec outputs/r5_chainB_t30/pipe_slim_spec.json \
-  --depth 0.33 --width 0.25 --synth --img-size 320 \
-  --act-scales channel --bits 4 \
-  -o outputs/r5_chainB_t30/acc/w4a8.msgpack
-require w4a8_quant && \
-run_job w4a8_eval timeout 3600 python tools/eval_harness_ckpt.py --cpu \
-  -c outputs/r5_chainB_t30/acc/w4a8.msgpack \
-  --slim-spec outputs/r5_chainB_t30/pipe_slim_spec.json \
-  --depth 0.33 --width 0.25 --quant w8a8 \
-  --data-dir /tmp/cocodet_synth_coco --img-size 320
-require r5_chainB_t30 && \
-run_job w8a8_quant_bt30 timeout 3600 python tools/quantize_model.py --cpu \
-  -c outputs/r5_chainB_t30/pipe_slim_ckpt.msgpack \
-  --slim-spec outputs/r5_chainB_t30/pipe_slim_spec.json \
-  --depth 0.33 --width 0.25 --synth --img-size 320 \
-  --act-scales channel --bits 8 \
-  -o outputs/r5_chainB_t30/acc/w8a8.msgpack
-require w8a8_quant_bt30 && \
-run_job w8a8_eval_bt30 timeout 3600 python tools/eval_harness_ckpt.py --cpu \
-  -c outputs/r5_chainB_t30/acc/w8a8.msgpack \
-  --slim-spec outputs/r5_chainB_t30/pipe_slim_spec.json \
-  --depth 0.33 --width 0.25 --quant w8a8 \
-  --data-dir /tmp/cocodet_synth_coco --img-size 320
+# 4. w4a8 / w8a8 accuracy: moved to tools/cpu_queue_all.sh (CPU-forced
+#    jobs must not serialize into the single-client TPU queue; the CPU
+#    queue runs them in parallel, hedged on the first chain artifact).
 
 # 5. Frontier recovery-budget sweep (VERDICT #2).  chainC = the
 #    80.4%-param point (32ch/event); t15 scored 0.8128, t30 0.8281 —
