@@ -275,7 +275,12 @@ def test_w4a8_forward_close(fused_setup):
     # data bytes + the int32 shape-metadata leaf per kernel (ADVICE r3).
     expected = sum((k.size + 1) // 2 + 4 * k.ndim for k in kernels)
     assert rep["int8_bytes"] == expected
-    assert rep["int8_bytes"] < quantization_report(qvars)["int8_bytes"]
+    # the report is self-describing (per-conv w_bits leaves in the quant
+    # tree override the caller default), so even the default-bits call
+    # returns nibble accounting — and it must be ~half the int8 footprint
+    assert quantization_report(qvars)["int8_bytes"] == expected
+    assert expected < 0.55 * sum(k.size for k in kernels) + 4 * sum(
+        k.ndim for k in kernels)
 
     ref = _flat_outputs(fused, variables, imgs)
     got = _flat_outputs(q, qvars, imgs)
@@ -283,6 +288,109 @@ def test_w4a8_forward_close(fused_setup):
     scale = np.abs(ref).max()
     assert err.max() / scale < 0.5, err.max() / scale
     assert np.percentile(err, 99) / scale < 0.15
+
+
+def test_int4_clip_search_beats_absmax():
+    """_mse_clip_scales must never be worse than absmax scaling and must
+    win clearly on heavy-tailed kernels (the measured int4 failure mode:
+    absmax w4a8 scored AP50 0.6097 vs bf16 0.7895 on the r5 chain)."""
+    from cocodet_tpu.compress.quantize import _mse_clip_scales
+
+    rs = np.random.RandomState(3)
+    kernel = rs.normal(0, 0.05, size=(3, 3, 16, 8)).astype(np.float32)
+    kernel[0, 0, 0, :4] = 1.0  # outlier tail in the first 4 out-channels
+    absmax = np.abs(kernel).max(axis=(0, 1, 2))
+    qmax = 7
+
+    def mse(scale):
+        flat = kernel.reshape(-1, kernel.shape[-1])
+        q = np.clip(np.round(flat / scale), -qmax, qmax)
+        return ((flat - q * scale) ** 2).sum(axis=0)
+
+    s_abs = np.maximum(absmax, 1e-8) / qmax
+    s_clip = _mse_clip_scales(kernel, absmax, qmax)
+    assert (mse(s_clip) <= mse(s_abs) + 1e-12).all()
+    # outlier channels must clip (scale strictly below absmax/qmax)
+    assert (s_clip[:4] < s_abs[:4] * 0.999).all()
+    # the outlier's own clipping error bounds the win — the reliable
+    # property is "never worse, measurably better on the tail channels"
+    assert (mse(s_clip)[:4] < 0.95 * mse(s_abs)[:4]).all()
+    assert mse(s_clip)[:4].sum() < 0.9 * mse(s_abs)[:4].sum()
+
+
+def test_w8a8_default_stays_absmax(fused_setup):
+    """bits=8 keeps plain absmax scaling by default (clip_search off) so
+    the established w8a8 production artifacts stay bit-identical."""
+    variables, imgs = fused_setup
+    calib = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        quant="calib")
+    qvars = quantize_model(calib, variables, [imgs], per_channel_act=True)
+
+    from flax.traverse_util import flatten_dict
+    qflat = flatten_dict(qvars["quant"])
+    pflat = flatten_dict(qvars["params"])
+    vflat = flatten_dict(variables["params"])
+    checked = 0
+    for path, w_scale in qflat.items():
+        if path[-1] != "w_scale":
+            continue
+        kpath = path[:-1] + ("kernel",)
+        kernel = np.asarray(vflat[kpath], np.float32)
+        a_scale = np.asarray(qflat[path[:-1] + ("act_scale",)], np.float32)
+        if a_scale.ndim and kernel.shape[2] == a_scale.shape[0]:
+            kernel = kernel * a_scale[None, None, :, None]
+        absmax = np.abs(kernel).max(axis=(0, 1, 2))
+        np.testing.assert_allclose(np.asarray(w_scale),
+                                   np.maximum(absmax, 1e-8) / 127.0,
+                                   rtol=1e-6)
+        assert pflat[kpath].dtype == jnp.int8
+        checked += 1
+    assert checked > 10
+
+
+def test_w4a8_mixed_precision_keep(fused_setup):
+    """bits=4 + w8_keep_patterns: heads/stems stay on the int8 grid (the
+    low-bit-sensitive layers), the backbone bulk goes nibble; per-conv
+    w_bits leaves declare the split and the report accounts it exactly."""
+    variables, imgs = fused_setup
+    fused = build_model("yolox-p6", depth=D, width=W, fused=True)
+    calib = build_model("yolox-p6", depth=D, width=W, fused=True,
+                        quant="calib")
+    q = build_model("yolox-p6", depth=D, width=W, fused=True, quant="w8a8")
+    keep = ("head/", "stem")
+    qvars = quantize_model(calib, variables, [imgs], per_channel_act=True,
+                           bits=4, w8_keep_patterns=keep)
+
+    from flax.traverse_util import flatten_dict
+    qflat = flatten_dict(qvars["quant"])
+    bits_by_path = {p[:-1]: int(v) for p, v in qflat.items()
+                    if p[-1] == "w_bits"}
+    assert bits_by_path
+    n8 = n4 = 0
+    for scope, b in bits_by_path.items():
+        name = "/".join(scope + ("kernel",))
+        expect = 8 if any(pat in name for pat in keep) else 4
+        assert b == expect, (name, b)
+        n8 += b == 8
+        n4 += b == 4
+    assert n8 > 0 and n4 > 0
+
+    # exact mixed accounting: nibble bytes for w_bits==4, full for ==8
+    pflat = flatten_dict(qvars["params"])
+    expected = 0
+    for scope, b in bits_by_path.items():
+        k = pflat[scope + ("kernel",)]
+        expected += ((k.size + 1) // 2 + 4 * k.ndim) if b == 4 else k.size
+    rep = quantization_report(qvars, bits=4)
+    assert rep["int8_bytes"] == expected
+
+    # mixed must track the float model at least as well as pure w4
+    qvars4 = quantize_model(calib, variables, [imgs], per_channel_act=True,
+                            bits=4)
+    ref = _flat_outputs(fused, variables, imgs)
+    err_mixed = np.abs(_flat_outputs(q, qvars, imgs) - ref)
+    err_pure = np.abs(_flat_outputs(q, qvars4, imgs) - ref)
+    assert np.percentile(err_mixed, 99) <= np.percentile(err_pure, 99) * 1.05
 
 
 def test_w4a8_checkpoint_roundtrip(fused_setup, tmp_path):

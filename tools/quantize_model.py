@@ -66,6 +66,22 @@ def make_parser():
                         "packed in the output msgpack (2x smaller artifact); "
                         "the runtime graph is the SAME s8xs8->s32 w8a8 "
                         "program — load_checkpoint unpacks transparently.")
+    p.add_argument("--w4-keep", default=None,
+                   help="mixed-precision w4: comma-separated path "
+                        "substrings kept on the full int8 grid (e.g. "
+                        "'head/,stem' protects detection heads + stems, "
+                        "the classic low-bit-sensitive layers); only "
+                        "meaningful with --bits 4")
+    p.add_argument("--w4-keep-frac", type=float, default=0.0,
+                   help="mixed-precision w4, data-driven: keep this "
+                        "fraction of convs with the worst relative int4 "
+                        "quantization MSE on the int8 grid (on top of "
+                        "--w4-keep patterns)")
+    p.add_argument("--clip-search", type=int, choices=[0, 1], default=None,
+                   help="per-channel MSE-optimal clip scaling instead of "
+                        "absmax (default: ON for --bits 4, OFF for 8 — "
+                        "absmax int4 measured AP50 0.61 vs bf16 0.79 on "
+                        "the r5 chain; see compress/quantize.py)")
     return p
 
 
@@ -131,7 +147,13 @@ def main():
                 tuple(batches[0].shape))
     qvars = quantize_model(calib_model, variables, batches,
                            per_channel_act=args.act_scales == "channel",
-                           bits=args.bits)
+                           bits=args.bits,
+                           clip_search=(None if args.clip_search is None
+                                        else bool(args.clip_search)),
+                           w8_keep_patterns=tuple(
+                               s for s in (args.w4_keep or "").split(",")
+                               if s),
+                           w8_keep_frac=args.w4_keep_frac)
 
     rep = quantization_report(qvars, bits=args.bits)
     logger.info("quantized: %s", json.dumps(rep))
@@ -141,11 +163,11 @@ def main():
         from flax.traverse_util import flatten_dict
         from cocodet_tpu.compress import pack_int4_tree
         # Declare the packed set explicitly (the kernels quantize_weights
-        # touched = one per w_scale in the quant collection) so the
-        # on-disk format follows --bits, not the data's value range.
-        kernel_paths = {p[:-1] + ("kernel",)
-                        for p in flatten_dict(qvars["quant"])
-                        if p[-1] == "w_scale"}
+        # put on the nibble grid — per-conv w_bits == 4) so the on-disk
+        # format follows --bits/--w4-keep, not the data's value range.
+        qf = flatten_dict(qvars["quant"])
+        kernel_paths = {p[:-1] + ("kernel",) for p, v in qf.items()
+                        if p[-1] == "w_bits" and int(v) == 4}
         out_params = pack_int4_tree(
             jax.tree_util.tree_map(np.asarray, out_params),
             kernel_paths=kernel_paths)
