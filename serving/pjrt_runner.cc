@@ -88,6 +88,28 @@ static int SelfTest(const char* in_path, const char* out_path) {
     std::fprintf(stderr, "selftest: cannot write %s\n", out_path);
     return 1;
   }
+  // PermuteToRowMajor: rebuild the observed TPU boxes layout — logical
+  // (B, det, 4) stored physically (B, 4, det), i.e. minor_to_major
+  // {1, 2, 0} — and check the permute inverts it exactly.
+  {
+    const std::vector<int64_t> dims = {2, 3, 4};
+    const std::vector<int64_t> m2m = {1, 2, 0};
+    std::vector<float> logical(24);
+    for (size_t i = 0; i < logical.size(); ++i)
+      logical[i] = static_cast<float>(i);
+    // physical element order: major->minor = dim0, dim2, dim1
+    std::vector<float> physical;
+    for (int64_t b = 0; b < dims[0]; ++b)
+      for (int64_t c = 0; c < dims[2]; ++c)
+        for (int64_t d = 0; d < dims[1]; ++d)
+          physical.push_back(logical[(b * dims[1] + d) * dims[2] + c]);
+    const std::vector<float> back =
+        pjrt_util::PermuteToRowMajor(physical, dims, m2m);
+    if (back != logical) {
+      std::fprintf(stderr, "selftest: PermuteToRowMajor mismatch\n");
+      return 1;
+    }
+  }
   std::printf("selftest ok: %s (%dx%d, ratio %.4f) -> %s\n", in_path, img.w,
               img.h, ratio, out_path);
   return 0;
@@ -215,6 +237,13 @@ int main(int argc, char** argv) {
     auto s = std::chrono::steady_clock::now();
     pjrt_util::Check(api->PJRT_LoadedExecutable_Execute(&eargs), "Execute");
     pjrt_util::AwaitEvent(done, "device completion");
+    // The completion event can fire before the device actually ran the
+    // program (tunnel/async dispatch — see ROADMAP "TIMING GOTCHA"); a
+    // host readback of one small output is the only trustworthy barrier.
+    if (num_outputs >= 5 && outputs[4]) {
+      volatile float sink = pjrt_util::ReadBufferAsFloat(outputs[4])[0];
+      (void)sink;
+    }
     auto e = std::chrono::steady_clock::now();
     if (it > 0) total_s += std::chrono::duration<double>(e - s).count();
 
@@ -223,8 +252,8 @@ int main(int argc, char** argv) {
       for (auto* b : outputs) pjrt_util::DestroyBuffer(b);
     }
   }
-  std::printf("avg exec: %.3f ms (%.1f img/s)\n", 1e3 * total_s / iters,
-              batch * iters / total_s);
+  std::printf("avg exec+readback: %.3f ms (%.1f img/s)\n",
+              1e3 * total_s / iters, batch * iters / total_s);
 
   // ---- read back detections ----
   // A --decode export returns the NMSResult pytree in field order:
@@ -233,12 +262,17 @@ int main(int argc, char** argv) {
   if (num_outputs == 5 && outputs[0]) {
     const std::vector<int64_t> bdims = pjrt_util::BufferDims(outputs[0]);
     const int64_t max_det = bdims.size() == 3 ? bdims[1] : 0;
-    const std::vector<float> boxes = pjrt_util::ReadBufferAsFloat(outputs[0]);
+    // Logical (row-major) readback: the TPU lays (B, max_det, 4) out
+    // transposed (max_det on the 128-lane minor dim) — see
+    // pjrt_util::ReadBufferAsFloatLogical.
+    const std::vector<float> boxes =
+        pjrt_util::ReadBufferAsFloatLogical(outputs[0]);
     const std::vector<float> scores =
-        pjrt_util::ReadBufferAsFloat(outputs[1]);
+        pjrt_util::ReadBufferAsFloatLogical(outputs[1]);
     const std::vector<float> classes =
-        pjrt_util::ReadBufferAsFloat(outputs[2]);
-    const std::vector<float> valid = pjrt_util::ReadBufferAsFloat(outputs[4]);
+        pjrt_util::ReadBufferAsFloatLogical(outputs[2]);
+    const std::vector<float> valid =
+        pjrt_util::ReadBufferAsFloatLogical(outputs[4]);
 
     int n_det = 0;
     for (int64_t k = 0; k < max_det; ++k) {  // batch slot 0

@@ -261,6 +261,86 @@ inline std::vector<float> ReadBufferAsFloat(PJRT_Buffer* b) {
   return out;
 }
 
+// Device minor-to-major order of a buffer (layout.minor_to_major), or an
+// empty vector when the plugin reports a strided/unknown layout.
+inline std::vector<int64_t> BufferMinorToMajor(PJRT_Buffer* b) {
+  PJRT_Buffer_GetMemoryLayout_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Buffer_GetMemoryLayout_Args_STRUCT_SIZE;
+  args.buffer = b;
+  PJRT_Error* err = Api()->PJRT_Buffer_GetMemoryLayout(&args);
+  if (err) {  // optional API — treat as unknown layout
+    PJRT_Error_Destroy_Args d;
+    std::memset(&d, 0, sizeof(d));
+    d.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+    d.error = err;
+    Api()->PJRT_Error_Destroy(&d);
+    return {};
+  }
+  if (args.layout.type != PJRT_Buffer_MemoryLayout_Type_Tiled) return {};
+  const auto& t = args.layout.tiled;
+  return std::vector<int64_t>(t.minor_to_major,
+                              t.minor_to_major + t.minor_to_major_size);
+}
+
+// D2H + float conversion + permutation into LOGICAL row-major order.
+//
+// ToHostBuffer without a host_layout delivers the elements in the
+// buffer's DEVICE dimension order.  XLA:TPU frequently transposes small
+// trailing dims off the 128-lane minor position — e.g. the NMSResult
+// boxes (B, 300, 4) come back physically (B, 4, 300) — so a reader that
+// assumes row-major sees interleaved garbage (found the hard way: the
+// first detection's x1 was the third detection's x0, and every later
+// row read zero padding).  This wrapper inverts minor_to_major on the
+// host, which needs no relayout support from the plugin.
+// Permute a dense buffer laid out with the given minor_to_major order
+// into logical row-major.  Returns raw unchanged when the layout is
+// already row-major, unknown, or rank < 2.  Exits loudly if the element
+// count disagrees with dims (tiled padding would corrupt every value).
+inline std::vector<float> PermuteToRowMajor(std::vector<float> raw,
+                                            const std::vector<int64_t>& dims,
+                                            const std::vector<int64_t>& m2m) {
+  const size_t n = dims.size();
+  if (m2m.size() != n || n < 2) return raw;  // unknown layout or 0/1-D
+  bool rowmajor = true;
+  for (size_t i = 0; i < n; ++i)
+    rowmajor &= (m2m[i] == static_cast<int64_t>(n - 1 - i));
+  if (rowmajor) return raw;
+  size_t total = 1;
+  for (int64_t d : dims) total *= static_cast<size_t>(d);
+  if (raw.size() != total) {
+    std::fprintf(stderr,
+                 "PermuteToRowMajor: %zu elements on host vs %zu "
+                 "logical (tiled padding in D2H?) — refusing to decode\n",
+                 raw.size(), total);
+    std::exit(1);
+  }
+  // physical stride of each logical dim (dense in minor_to_major order)
+  std::vector<size_t> stride(n);
+  size_t s = 1;
+  for (int64_t d : m2m) {
+    stride[static_cast<size_t>(d)] = s;
+    s *= static_cast<size_t>(dims[static_cast<size_t>(d)]);
+  }
+  std::vector<float> out(total);
+  std::vector<size_t> idx(n, 0);
+  for (size_t lin = 0; lin < total; ++lin) {
+    size_t off = 0;
+    for (size_t k = 0; k < n; ++k) off += idx[k] * stride[k];
+    out[lin] = raw[off];
+    for (size_t k = n; k-- > 0;) {  // row-major increment
+      if (++idx[k] < static_cast<size_t>(dims[k])) break;
+      idx[k] = 0;
+    }
+  }
+  return out;
+}
+
+inline std::vector<float> ReadBufferAsFloatLogical(PJRT_Buffer* b) {
+  return PermuteToRowMajor(ReadBufferAsFloat(b), BufferDims(b),
+                           BufferMinorToMajor(b));
+}
+
 inline void DestroyBuffer(PJRT_Buffer* b) {
   if (!b) return;
   PJRT_Buffer_Destroy_Args bd;
