@@ -159,12 +159,22 @@ def quantize_weights(variables: Dict, quant_tree: Dict, bits: int = 8,
     frac_keep: set = set()
     if bits == 4 and w8_keep_frac > 0.0:
         flat0 = flatten_dict(variables["params"])
+        qflat0 = flatten_dict(quant_tree)
         rel_err = {}
-        for path in flatten_dict(quant_tree):
+        for path in qflat0:
             if path[-1] != "act_scale":
                 continue
             kpath = path[:-1] + ("kernel",)
             k = np.asarray(flat0[kpath], np.float32)
+            # Rank on the SAME tensor the main loop quantizes: with
+            # per-channel act scales the a_scale is folded into the kernel
+            # before quantization, so the "worst relative error" set must
+            # be computed on the folded kernel too (ADVICE r4).
+            a = np.asarray(qflat0[path], np.float32)
+            if a.ndim and k.shape[2] != a.shape[0]:
+                a = a.max()  # grouped/depthwise: per-tensor collapse
+            if a.ndim:
+                k = k * a[None, None, :, None]
             absmax = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-8)
             s = (_mse_clip_scales(k, absmax, 7) if clip_search
                  else absmax / 7.0)

@@ -112,12 +112,40 @@ def list_images(data_dir: str) -> List[Tuple[str, int, int]]:
     return out
 
 
+def exposure_normalize(img: np.ndarray,
+                       dark_hi: float = 160.0) -> np.ndarray:
+    """Adaptive per-image exposure normalization (lowlight rescue).
+
+    A globally gain-crushed image (exposure / camera AGC failure) carries
+    its full structure in a compressed intensity window; the detector,
+    trained on well-exposed images, collapses on it (measured: lowlight
+    AP50 0.164 vs default 0.886 on the synthetic robustness family).
+    When the p98 intensity falls below ``dark_hi`` (well-exposed images
+    sit at 200+, gain<=0.5 crushes it under ~130), linearly stretch the
+    p2..p98 window to [16, 240] — the inverse of the unknown gain, found
+    per image.  Well-exposed images pass through untouched, so the other
+    robustness axes are unaffected by construction.
+
+    Prior art: the reference's fixed contrast TTA ``img*0.9 + 11.4``
+    (ref choijhanyangackr/main.py:164) — a single hardcoded affine; this
+    is the adaptive version, conditioned on the image's own histogram.
+    """
+    lo, hi = np.percentile(img, (2.0, 98.0))
+    if hi >= dark_hi or hi - lo < 4.0:
+        return img  # well-exposed (or flat): identity
+    scale = min((240.0 - 16.0) / (hi - lo), 8.0)
+    out = (img.astype(np.float32) - lo) * scale + 16.0
+    return np.clip(out, 0.0, 255.0).astype(img.dtype)
+
+
 class ImageFolderDataset:
     """Aspect-sorted image folder (ref dataset.py:31)."""
 
-    def __init__(self, data_dir: str, img_size: int):
+    def __init__(self, data_dir: str, img_size: int,
+                 exposure_norm: bool = False):
         self.data_dir = data_dir
         self.img_size = img_size
+        self.exposure_norm = exposure_norm
         files = list_images(data_dir)
         files.sort(key=lambda t: t[1] / t[2])  # by h/w
         self.files = files
@@ -133,6 +161,8 @@ class ImageFolderDataset:
         else:
             nh, nw = self.img_size, int(w * self.img_size / h)
         resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if self.exposure_norm:
+            resized = exposure_normalize(resized)
         return resized, (h, w, name, nh, nw)
 
 

@@ -142,13 +142,20 @@ def assign_single(
     gathered_1p = log_1p.astype(cdt)[:, gt_cls].T             # (G, A) cdt
     cost_cls = -(gathered_p) + gathered_1p - s_all.astype(cdt)[None, :]
 
-    cost_iou = -jnp.log(iou.astype(jnp.float32) + 1e-8).astype(cdt)
+    cost_iou = -jnp.log(iou.astype(jnp.float32) + 1e-8)
+    # The final assembly is ALWAYS f32 (ADVICE r4): adding _BIG=1e5 in
+    # bf16 (8 mantissa bits) absorbs the cost_cls/cost_iou differences of
+    # every not-in-both candidate, so when dynamic_k exceeds the
+    # in-box-and-center count the fallback selection would degenerate
+    # from min-cost to arbitrary tie order.  Only the data-dependent
+    # (G, A) terms (IoU matrix, gathered BCE) compute in ``cdt`` — the
+    # elementwise f32 sum costs ~nothing next to pairwise_iou/gathers.
     cost = (
-        cost_cls
-        + jnp.asarray(3.0, cdt) * cost_iou
-        + jnp.asarray(_BIG, cdt) * (~in_both)
-        + jnp.asarray(_INF, cdt) * (~candidate[None, :])
-        + jnp.asarray(_INF, cdt) * (~gt_valid[:, None])
+        cost_cls.astype(jnp.float32)
+        + 3.0 * cost_iou
+        + _BIG * (~in_both)
+        + _INF * (~candidate[None, :])
+        + _INF * (~gt_valid[:, None])
     )
 
     # ---- dynamic-k (ref dynamic_k_matching, yolo_head.py:561-575) ----

@@ -270,7 +270,11 @@ def run(cfg, out_path: str, profile: bool = False, challenge: bool = False,
         raise ValueError(
             f"img_size {cfg['img_size']} must be a multiple of the model's "
             f"max stride {max_stride} (P6 upsample/concat shapes)")
-    dataset = ImageFolderDataset(cfg["data_dir"], cfg["img_size"])
+    dataset = ImageFolderDataset(
+        cfg["data_dir"], cfg["img_size"],
+        # adaptive lowlight rescue (data/folder.py exposure_normalize);
+        # identity on well-exposed images, so safe to leave on.
+        exposure_norm=bool(cfg.get("exposure_norm", False)))
     loader = FolderLoader(dataset, int(cfg["dataloader"]["batch_size"]),
                           pad_multiple=max_stride)
 

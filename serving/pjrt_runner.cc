@@ -240,8 +240,14 @@ int main(int argc, char** argv) {
     // The completion event can fire before the device actually ran the
     // program (tunnel/async dispatch — see ROADMAP "TIMING GOTCHA"); a
     // host readback of one small output is the only trustworthy barrier.
-    if (num_outputs >= 5 && outputs[4]) {
-      volatile float sink = pjrt_util::ReadBufferAsFloat(outputs[4])[0];
+    // Read element 0 of the LAST output regardless of signature (ADVICE
+    // r4: the old >=5-output condition left non-decode exports timed by
+    // AwaitEvent alone — untrustworthy numbers).  The last output is the
+    // smallest readback for decode exports (valid mask) and correct for
+    // any export shape.
+    if (num_outputs >= 1 && outputs[num_outputs - 1]) {
+      volatile float sink =
+          pjrt_util::ReadBufferAsFloat(outputs[num_outputs - 1])[0];
       (void)sink;
     }
     auto e = std::chrono::steady_clock::now();

@@ -220,3 +220,31 @@ def test_process_loader_matches_thread_loader(tmp_path):
         return out
 
     assert grab("thread") == grab("process")
+
+
+def test_exposure_normalize():
+    """Adaptive lowlight rescue (data/folder.py): identity on well-exposed
+    and flat images, inverse-gain stretch on globally crushed ones
+    (the synthetic lowlight variant's gain is 0.25-0.5,
+    data/synthetic.py VARIANTS)."""
+    import numpy as np
+
+    from cocodet_tpu.data.folder import exposure_normalize
+
+    rs = np.random.RandomState(0)
+    normal = (rs.rand(48, 48, 3) * 255).astype(np.uint8)
+    assert np.array_equal(exposure_normalize(normal), normal)
+
+    flat = np.full((8, 8, 3), 40, np.uint8)
+    assert np.array_equal(exposure_normalize(flat), flat)
+
+    for gain in (0.25, 0.4, 0.5):
+        dark = (normal * gain).astype(np.uint8)
+        fixed = exposure_normalize(dark).astype(np.float32)
+        # restored to roughly the original exposure (stretch hits [16,240])
+        assert abs(fixed.mean() - float(normal.mean())) < 20.0
+        # monotonic (order-preserving) transform
+        a, b = dark[0, 0, 0], dark[1, 1, 1]
+        fa, fb = fixed[0, 0, 0], fixed[1, 1, 1]
+        if a < b:
+            assert fa <= fb

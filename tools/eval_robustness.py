@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--conf", type=float, default=0.001)
     ap.add_argument("--nms", type=float, default=0.65)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--exposure-norm", action="store_true",
+                    help="adaptive per-image exposure normalization in the "
+                         "harness preproc (data/folder.py)")
     ap.add_argument("-o", "--out", default=None,
                     help="results json (default: <ckpt>_robustness.json)")
     args = ap.parse_args()
@@ -93,6 +96,7 @@ def main():
                             "nms_threshold": args.nms,
                             "use_pallas": False},
             "input_aug": False,
+            "exposure_norm": args.exposure_norm,
         }
         det_json = os.path.join(root, "detections.json")
         hmain.run(cfg, det_json)

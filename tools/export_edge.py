@@ -132,6 +132,12 @@ def main():
 
         scales = {}
         for path, v in flatten_dict(variables.get("quant", {})).items():
+            # scales only: mixed-precision w4 checkpoints carry int32
+            # ``w_bits`` leaves in the quant collection, which are not
+            # calibration scales and would pollute the JSON downstream
+            # converters consume (ADVICE r4).
+            if not path[-1].endswith("_scale"):
+                continue
             scales["/".join(path)] = np.asarray(v).tolist()
         with open(args.calib_json, "w") as f:
             json.dump({"img_size": args.size, "act_and_weight_scales":

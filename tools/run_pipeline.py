@@ -110,7 +110,8 @@ def follow_chain_ckpt(base, name):
 def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
                  tiny_epochs=1, synth_epochs=0, synth_size=256,
                  start_stage="phase1", init_from=None,
-                 prune_set=None, tune_set=None):
+                 prune_set=None, tune_set=None, arch_set=None,
+                 resume=False):
     """Run the chain from ``start_stage`` onward; earlier stages' outputs
     are read from ``init_from`` (default: a prior run in ``out_dir``), so a
     tune-recipe experiment reuses the trained phase1/phase2/prune ckpts and
@@ -118,6 +119,16 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
 
     ``prune_set`` / ``tune_set`` are ``[k, v, k, v, ...]`` lists merged
     onto the stage exp via Exp.merge (same type coercion as the CLI).
+    ``arch_set`` is merged onto EVERY stage exp (after the tiny/synth
+    overrides) — e.g. ``["depth", "0.67", "width", "0.75"]`` runs the
+    synthetic chain on the full headline M-P6 architecture.
+
+    ``resume=True`` makes each training stage killswitch-proof: if the
+    stage's own output directory already holds a ``latest_ckpt.msgpack``
+    (a prior run of THIS chain was killed mid-stage), the stage resumes
+    from it (epoch counter + optimizer momentum + EMA restored by
+    Trainer.resume_train) instead of restarting from its init ckpt —
+    so a killed 60-epoch tune relaunch costs only the remaining epochs.
     """
     from cocodet_tpu.exp import get_exp
     from cocodet_tpu.utils.logger import logger
@@ -172,7 +183,20 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
                              lr=2.5e-4 * lr_scale)
         else:
             exp.data_dir = data_dir
+        if arch_set:
+            exp.merge(arch_set)
         return exp
+
+    def stage_args(name):
+        """Per-stage Trainer args: resume iff the stage was killed mid-run
+        (its own latest ckpt exists under THIS chain's output dir)."""
+        a = Args()
+        a.batch_size = batch_size
+        stage_ckpt = os.path.join(out_dir, name, "latest_ckpt.msgpack")
+        if resume and os.path.exists(stage_ckpt):
+            a.resume = True
+            logger.info("stage %s: resuming from %s", name, stage_ckpt)
+        return a
 
     def stage_eval(runtime, exp, tag):
         """Record the stage's val AP50 (the mAP trajectory the reference
@@ -192,7 +216,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
     if _runs("phase1"):
         logger.info("=== pipeline stage 1/6: phase-1 training ===")
         exp1 = stage_exp("exps/p6/yolox_m_p6.py", "pipe_phase1")
-        t1 = Trainer(exp1, args)
+        t1 = Trainer(exp1, stage_args("pipe_phase1"))
         t1.train()
         results["phase1_loss"] = float(t1.meter["loss"].latest)
         stage_eval(t1, exp1, "phase1")
@@ -205,7 +229,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
         logger.info("=== pipeline stage 2/6: phase-2 fine-tune ===")
         exp2 = stage_exp("exps/p6/yolox_m_p6_tune.py", "pipe_phase2")
         exp2.init_ckpt = phase1_ckpt
-        t2 = Trainer(exp2, args)
+        t2 = Trainer(exp2, stage_args("pipe_phase2"))
         t2.train()
         results["phase2_loss"] = float(t2.meter["loss"].latest)
         stage_eval(t2, exp2, "phase2")
@@ -235,7 +259,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
             exp3.prune_end_epoch = max(exp3.max_epoch - 3, 1)
         if prune_set:
             exp3.merge(prune_set)
-        p = Pruner(exp3, args)
+        p = Pruner(exp3, stage_args("pipe_prune"))
         p.train()
         results["prune_loss"] = float(p.meter["loss"].latest)
         stage_eval(p, exp3, "prune")
@@ -261,7 +285,7 @@ def run_pipeline(data_dir, out_dir, tiny=False, batch_size=8,
         exp4.teacher_ckpt = phase2_ckpt
         if tune_set:
             exp4.merge(tune_set)
-        t4 = Tuner(exp4, args)
+        t4 = Tuner(exp4, stage_args("pipe_tune"))
         t4.train()
         results["tune_loss"] = float(t4.meter["loss"].latest)
         stage_eval(t4, exp4, "tune")
@@ -387,6 +411,13 @@ def main():
                     help="key value overrides merged onto the prune exp")
     ap.add_argument("--tune-set", nargs="*", default=None, metavar="K V",
                     help="key value overrides merged onto the tune exp")
+    ap.add_argument("--arch-set", nargs="*", default=None, metavar="K V",
+                    help="key value overrides merged onto EVERY stage exp "
+                         "(e.g. depth 0.67 width 0.75 for the headline "
+                         "M-P6 architecture on the synthetic chain)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume any stage whose own latest_ckpt.msgpack "
+                         "exists under --out (killswitch recovery)")
     args = ap.parse_args()
 
     data_dir = args.data_dir
@@ -417,7 +448,8 @@ def main():
                  synth_epochs=args.synth_epochs if args.synth else 0,
                  synth_size=args.synth_size, start_stage=args.start_stage,
                  init_from=args.init_from, prune_set=args.prune_set,
-                 tune_set=args.tune_set)
+                 tune_set=args.tune_set, arch_set=args.arch_set,
+                 resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,22 @@ def main():
     if not dev_pids:
         raise SystemExit(f"no device plane in {path}; planes: {pname}")
 
+    # Per-step numbers must be normalized per DEVICE plane: on a
+    # multi-chip trace every device runs the module once per step, so
+    # counting "XLA Modules" events across all planes would divide
+    # ms/step by steps x devices (ADVICE r4).  Restrict the whole
+    # summary to ONE device plane (the busiest keeps single-chip traces
+    # unchanged) and report how many planes were dropped.
+    if len(dev_pids) > 1:
+        by_plane = collections.Counter()
+        for e in events:
+            if e.get("ph") == "X" and e.get("pid") in dev_pids:
+                by_plane[e["pid"]] += e.get("dur", 0)
+        keep = by_plane.most_common(1)[0][0]
+        print(f"# NOTE: {len(dev_pids)} device planes in trace — "
+              f"summarizing plane {keep} ({pname.get(keep)}) only")
+        dev_pids = {keep}
+
     ops, steps, mods = [], [], []
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
