@@ -113,26 +113,31 @@ def list_images(data_dir: str) -> List[Tuple[str, int, int]]:
 
 
 def exposure_normalize(img: np.ndarray,
-                       dark_hi: float = 160.0) -> np.ndarray:
+                       dark_hi: float = 130.0,
+                       dark_lo: float = 20.0) -> np.ndarray:
     """Adaptive per-image exposure normalization (lowlight rescue).
 
     A globally gain-crushed image (exposure / camera AGC failure) carries
     its full structure in a compressed intensity window; the detector,
     trained on well-exposed images, collapses on it (measured: lowlight
     AP50 0.164 vs default 0.886 on the synthetic robustness family).
-    When the p98 intensity falls below ``dark_hi`` (well-exposed images
-    sit at 200+, gain<=0.5 crushes it under ~130), linearly stretch the
-    p2..p98 window to [16, 240] — the inverse of the unknown gain, found
-    per image.  Well-exposed images pass through untouched, so the other
-    robustness axes are unaffected by construction.
+    The crush signature is BOTH percentiles scaled toward zero: p98 below
+    ``dark_hi`` AND p2 below ``dark_lo``.  A p98-only gate at 160
+    mis-fired on naturally dim scenes (measured on the synthetic
+    robustness family: smallobj sits at p98 med 131 / p2 med 43 and lost
+    18.9 AP50 to spurious stretching, while true lowlight is p98 med 69 /
+    p2 med 8).  The joint rule fires on 123/128 lowlight vs 0/128
+    default, 5/128 smallobj, 1/128 texture images.  On a match, linearly
+    stretch the p2..p98 window to [16, 240] — the inverse of the unknown
+    gain, found per image; everything else passes through untouched.
 
     Prior art: the reference's fixed contrast TTA ``img*0.9 + 11.4``
     (ref choijhanyangackr/main.py:164) — a single hardcoded affine; this
     is the adaptive version, conditioned on the image's own histogram.
     """
     lo, hi = np.percentile(img, (2.0, 98.0))
-    if hi >= dark_hi or hi - lo < 4.0:
-        return img  # well-exposed (or flat): identity
+    if hi >= dark_hi or lo >= dark_lo or hi - lo < 4.0:
+        return img  # well-exposed / naturally-dim / flat: identity
     scale = min((240.0 - 16.0) / (hi - lo), 8.0)
     out = (img.astype(np.float32) - lo) * scale + 16.0
     return np.clip(out, 0.0, 255.0).astype(img.dtype)

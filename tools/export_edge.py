@@ -86,6 +86,11 @@ def main():
 
     spec = load_slim_spec(args.slim_spec) if args.slim_spec else None
     strides = MODEL_SPECS[args.name].strides
+    if args.size % max(strides):
+        ap.error(f"--size {args.size} not divisible by the {args.name} "
+                 f"max stride {max(strides)} (the PAFPN top-down concat "
+                 f"needs exact /2 alignment at every level; for P6 use "
+                 f"384/448/512, the ref ncnn 416 maps to P5 models)")
     quant = None if args.quant == "none" else args.quant
     # edge runtimes compute f32 (or their own int8): export at f32
     model = build_model(args.name, depth=args.depth, width=args.width,
