@@ -114,22 +114,27 @@ def list_images(data_dir: str) -> List[Tuple[str, int, int]]:
 
 def exposure_normalize(img: np.ndarray,
                        dark_hi: float = 130.0,
-                       dark_lo: float = 20.0) -> np.ndarray:
+                       dark_lo: float = 20.0,
+                       full_hi: float = 110.0,
+                       full_lo: float = 15.0) -> np.ndarray:
     """Adaptive per-image exposure normalization (lowlight rescue).
 
     A globally gain-crushed image (exposure / camera AGC failure) carries
     its full structure in a compressed intensity window; the detector,
     trained on well-exposed images, collapses on it (measured: lowlight
     AP50 0.164 vs default 0.886 on the synthetic robustness family).
-    The crush signature is BOTH percentiles scaled toward zero: p98 below
-    ``dark_hi`` AND p2 below ``dark_lo``.  A p98-only gate at 160
-    mis-fired on naturally dim scenes (measured on the synthetic
-    robustness family: smallobj sits at p98 med 131 / p2 med 43 and lost
-    18.9 AP50 to spurious stretching, while true lowlight is p98 med 69 /
-    p2 med 8).  The joint rule fires on 123/128 lowlight vs 0/128
-    default, 5/128 smallobj, 1/128 texture images.  On a match, linearly
-    stretch the p2..p98 window to [16, 240] — the inverse of the unknown
-    gain, found per image; everything else passes through untouched.
+    The crush signature is BOTH percentiles scaled toward zero (a p98-only
+    gate at 160 mis-fired on naturally dim scenes: smallobj sits at p98
+    med 131 / p2 med 43 and lost 18.9 AP50 to spurious stretching, while
+    true lowlight is p98 med 69 / p2 med 8).  Inside the certain-crush
+    region (p98 < ``full_hi`` AND p2 < ``full_lo``: 105/128 lowlight,
+    1/128 smallobj, 0 elsewhere) the p2..p98 window is fully stretched to
+    [16, 240] — the inverse of the unknown gain, found per image.  From
+    there the correction ramps linearly to zero at the outer boundary
+    (``dark_hi``, ``dark_lo``), so borderline images (18/128 lowlight,
+    4/128 smallobj at the band) get a partial, low-risk correction
+    instead of an all-or-nothing decision; everything outside passes
+    through untouched.
 
     Prior art: the reference's fixed contrast TTA ``img*0.9 + 11.4``
     (ref choijhanyangackr/main.py:164) — a single hardcoded affine; this
@@ -138,8 +143,11 @@ def exposure_normalize(img: np.ndarray,
     lo, hi = np.percentile(img, (2.0, 98.0))
     if hi >= dark_hi or lo >= dark_lo or hi - lo < 4.0:
         return img  # well-exposed / naturally-dim / flat: identity
+    w = min(1.0, (dark_hi - hi) / (dark_hi - full_hi),
+            (dark_lo - lo) / (dark_lo - full_lo))
     scale = min((240.0 - 16.0) / (hi - lo), 8.0)
-    out = (img.astype(np.float32) - lo) * scale + 16.0
+    stretched = (img.astype(np.float32) - lo) * scale + 16.0
+    out = img.astype(np.float32) + w * (stretched - img.astype(np.float32))
     return np.clip(out, 0.0, 255.0).astype(img.dtype)
 
 

@@ -238,7 +238,8 @@ def test_exposure_normalize():
     flat = np.full((8, 8, 3), 40, np.uint8)
     assert np.array_equal(exposure_normalize(flat), flat)
 
-    for gain in (0.25, 0.4, 0.5):
+    for gain in (0.25, 0.4):
+        # inside the certain-crush region: full inverse-gain stretch
         dark = (normal * gain).astype(np.uint8)
         fixed = exposure_normalize(dark).astype(np.float32)
         # restored to roughly the original exposure (stretch hits [16,240])
@@ -248,3 +249,11 @@ def test_exposure_normalize():
         fa, fb = fixed[0, 0, 0], fixed[1, 1, 1]
         if a < b:
             assert fa <= fb
+
+    # borderline band (gain 0.5 of a bright image: p98 ~125): partial,
+    # ramped correction — strictly brighter, but not the full stretch
+    dark = (normal * 0.5).astype(np.uint8)
+    fixed = exposure_normalize(dark).astype(np.float32)
+    gap = float(normal.mean()) - float(dark.mean())
+    closed = float(fixed.mean()) - float(dark.mean())
+    assert 0.1 * gap < closed < 0.9 * gap

@@ -126,10 +126,28 @@ def main():
              ).astype(np.float32)
     want = np.asarray(fwd(jnp.asarray(probe)), np.float32)
     got = run_onnx(load_onnx(args.out), {"images": probe})[0]
-    err = float(np.abs(got - want).max())
+    diff = np.abs(got - want)
+    err = float(diff.max())
     logger.info("selfcheck: output %s, max |onnx - jax| = %.3g", got.shape,
                 err)
-    if err > args.tol:
+    if quant:
+        # real-int8 (int32 accumulation, blocks.py quant='w8a8') vs the
+        # QDQ-float emulation an edge runtime executes can flip a handful
+        # of activations across requant boundaries; demand the flips stay
+        # RARE and BOUNDED rather than bit-exact (float exports keep the
+        # strict tol below).
+        frac_bad = float((diff > 1e-2).mean())
+        logger.info("selfcheck (quant): frac |err|>1e-2 = %.2e, p99.9 = %.3g",
+                    frac_bad, float(np.percentile(diff, 99.9)))
+        # measured on the chainB_t30 448px export: frac 1.1e-3, p99.9
+        # 0.011, max 0.087 (~1 act-quant step on raw head units) — a real
+        # export bug (wrong weights/layout) corrupts a large fraction at
+        # large magnitude, far outside these bounds
+        if err > 0.25 or frac_bad > 5e-3:
+            raise SystemExit(
+                f"selfcheck FAILED (quant): max {err} > 0.25 or "
+                f"frac>{1e-2} = {frac_bad} > 5e-3")
+    elif err > args.tol:
         raise SystemExit(f"selfcheck FAILED: {err} > {args.tol}")
 
     if args.calib_json:
