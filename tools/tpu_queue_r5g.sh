@@ -67,12 +67,7 @@ fi
 require r5e_mp6 && \
 run_job r5e_mp6_bench timeout 1800 python bench.py
 
-# 2b. Post-ADVICE-fix requotes + the fixed layout A/B (cheap, high value).
 run_job r5g_gradconv2 timeout 2400 python tools/grad_conv_ab.py --batch 128
-run_job r5g_train_base timeout 1800 python tools/bench_train.py \
-  -b 128 --size 640 --iters 10
-run_job r5g_train_bf16cost timeout 1800 python tools/bench_train.py \
-  -b 128 --size 640 --iters 10 --simota-bf16
 
 # 3. Deep cut from the SAME phase-2 anchor: 30-epoch gentle prune
 #    (108 events x 118 ch = 49.1% of channels — the bench-comparable
@@ -83,7 +78,7 @@ run_job r5f_mp6_deep timeout 14400 python tools/run_pipeline.py --synth \
   --arch-set depth 0.67 width 0.75 \
   --start-stage prune --init-from outputs/r5_mp6 \
   --prune-set prune_channels 118 max_epoch 30 prune_end_epoch 27 \
-  --tune-set max_epoch 30 \
+  --tune-set max_epoch 20 \
   --resume --out outputs/r5_mp6_deep
 
 require r5f_mp6_deep && \
@@ -103,6 +98,12 @@ run_job r5e_lat832_bf16 timeout 1800 python tools/bench_spec.py \
 require r5e_mp6 && \
 run_job r5e_640_bf16 timeout 1800 python tools/bench_spec.py \
   --spec "$SPEC" --size 640 --batch 128 --quant bf16
+
+# Post-ADVICE-fix train-step requotes (after the headline chain work).
+run_job r5g_train_base timeout 1800 python tools/bench_train.py \
+  -b 128 --size 640 --iters 10
+run_job r5g_train_bf16cost timeout 1800 python tools/bench_train.py \
+  -b 128 --size 640 --iters 10 --simota-bf16
 
 # 5. simota_bf16 chain-level AP A/B (deterministic vs outputs/r5_chain).
 run_job r5e_simota timeout 14400 python tools/run_pipeline.py --synth \

@@ -52,6 +52,15 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     else
       stall=0
     fi
+    # CPU ticks alone false-positive on healthy TPU-bound stages (the
+    # M-P6 distill tune is ~99% device-wait: <0.5 s host CPU/min killed a
+    # live job at r5 epoch 8) — a job that is still WRITING ITS LOG is
+    # not wedged, whatever its CPU counter says.
+    newest_log=$(ls -t outputs/logs/*.log 2>/dev/null | head -1)
+    if [ -n "$newest_log" ]; then
+      age=$(( $(date +%s) - $(stat -c %Y "$newest_log") ))
+      [ "$age" -lt 300 ] && stall=0
+    fi
     last_pid=$pid; last_ticks=$ticks
     if [ "$stall" -ge 900 ]; then
       echo "== watchdog: pid ${pid} wedged (no CPU for ${stall}s) — killing $(date -u +%H:%M:%S)" | tee -a outputs/logs/queue.log
