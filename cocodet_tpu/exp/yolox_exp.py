@@ -118,6 +118,11 @@ class Exp(BaseExp):
         self.momentum = 0.9
         self.print_interval = 10
         self.eval_interval = 10
+        # epochs between "latest" checkpoint writes (the final epoch always
+        # saves).  The full train state is ~0.5 GB on M-P6 — a per-epoch
+        # host readback + msgpack write costs ~30 s on a 1-core host, which
+        # dominates short-epoch synthetic chains.
+        self.ckpt_interval = 1
         self.compute_dtype = "bfloat16"  # TPU analogue of --fp16 AMP
 
         # ---------------- testing config ----------------

@@ -22,7 +22,7 @@ if [ ! -e outputs/logs/r5j_mag49_gen.done ]; then
   echo "== r5j_mag49_gen: start $(date -u +%H:%M:%S)" | tee -a outputs/logs/queue.log
   nice -n 15 env JAX_PLATFORMS=cpu timeout 7200 \
     python tools/compress_pipeline.py \
-    -c outputs/r5_mp6/pipe_phase2/best_ckpt.msgpack \
+    -c outputs/r5_mp6/pipe_phase2/latest_ckpt.msgpack \
     --ratio 0.49 -o outputs/r5_mag49_mp6 \
     > outputs/logs/r5j_mag49_gen.log 2>&1
   rc=$?

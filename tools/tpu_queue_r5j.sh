@@ -44,7 +44,7 @@ require() { [ -e "outputs/logs/$1.done" ]; }
 # 1. THE headline chain: M-P6 end-to-end, deep gentle prune.
 run_job r5j_mp6 timeout 10800 python tools/run_pipeline.py --synth \
   --synth-epochs 30 --synth-size 320 --synth-images 512 \
-  --arch-set depth 0.67 width 0.75 \
+  --arch-set depth 0.67 width 0.75 ckpt_interval 3 \
   --prune-set prune_channels 118 max_epoch 30 prune_end_epoch 27 \
   --tune-set max_epoch 20 \
   --resume --out outputs/r5_mp6
